@@ -1,0 +1,64 @@
+"""uint8 per-channel histogram equalization inside the compiled graph.
+
+Parity target: ``torchvision.transforms.functional.equalize`` (PIL
+ImageOps.equalize algorithm), used by the reference on the current frame
+before RAFT (model/model.py:234, :359). The LUT construction is:
+
+    hist     = 256-bin histogram of the channel
+    step     = sum(hist) - hist[last_nonzero_bin], floor-div 255
+    if step == 0: channel unchanged
+    lut[0]   = 0
+    lut[i]   = (cumsum(hist)[i-1] + step // 2) // step     for i >= 1
+    out      = clip(lut, 0, 255)[pixel]
+
+Everything is static-shape (256 bins) so it jits cleanly; the histogram is a
+scatter-add and the LUT application a gather -- both supported natively by
+XLA-TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _equalize_channel(chan_u8: jax.Array) -> jax.Array:
+    """Equalize one flattened uint8 channel (N,) -> (N,) uint8."""
+    x = chan_u8.astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[x].add(1)
+
+    nonzero = hist > 0
+    # index of the last nonzero bin (there is always at least one)
+    idx = jnp.arange(256, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(nonzero, idx, -1))
+    total = x.shape[0]
+    step = (total - hist[last_nz]) // 255
+
+    cum = jnp.cumsum(hist)
+    safe_step = jnp.maximum(step, 1)
+    lut = (cum + step // 2) // safe_step
+    lut = jnp.concatenate([jnp.zeros((1,), lut.dtype), lut[:-1]])
+    lut = jnp.clip(lut, 0, 255)
+
+    out = lut[x]
+    out = jnp.where(step == 0, x, out)
+    return out.astype(jnp.uint8)
+
+
+def equalize_uint8(img: jax.Array) -> jax.Array:
+    """Per-image, per-channel histogram equalization of uint8 (B, H, W, C)."""
+    b, h, w, c = img.shape
+    flat = img.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    out = jax.vmap(_equalize_channel)(flat)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def equalize01(x: jax.Array) -> jax.Array:
+    """Equalize a [0, 1] float image; returns float in [0, 255].
+
+    Parity with the reference's ``equalize((x * 255).to(torch.uint8))``
+    followed by ``.to(torch.float32)`` (model/model.py:234-235): the uint8
+    cast truncates toward zero.
+    """
+    u8 = jnp.clip(x * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    return equalize_uint8(u8).astype(jnp.float32)

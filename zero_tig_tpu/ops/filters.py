@@ -1,0 +1,147 @@
+"""Window/filter image ops with PyTorch-reference-exact semantics (NHWC).
+
+These are the HBM-bandwidth-bound elementwise/window kernels of the pipeline
+(SURVEY.md section 2.4). They are written as slicing + depthwise convolutions
+so XLA fuses them with neighbouring ops; the padding-mode distinctions of the
+reference (reflect for means/stddev, zero for the variance op) are preserved
+exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .convs import depthwise_conv2d
+
+
+def pair_downsampler(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Neighbor2Neighbor diagonal pair downsampling.
+
+    Parity: utils/utils.py:15-24 -- two 2x2 stride-2 grouped convs with fixed
+    filters [[0,.5],[.5,0]] and [[.5,0],[0,.5]]. Implemented as strided
+    slicing (no conv needed): pure VPU adds, fully fusable.
+
+    img: (B, H, W, C) -> two (B, H//2, W//2, C) siblings.
+    """
+    h2 = img.shape[-3] // 2
+    w2 = img.shape[-2] // 2
+    a = img[..., 0 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]  # (2i,   2j)
+    b = img[..., 0 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]  # (2i,   2j+1)
+    c = img[..., 1 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]  # (2i+1, 2j)
+    d = img[..., 1 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]  # (2i+1, 2j+1)
+    out1 = 0.5 * (b + c)
+    out2 = 0.5 * (a + d)
+    return out1, out2
+
+
+def gauss_kernel(kernlen: int = 21, nsig: float = 3.0) -> jax.Array:
+    """erf-based Gaussian kernel, parity with utils/utils.py:29-39.
+
+    Note the reference's ``blur`` calls this with nsig=1 (utils/utils.py:56).
+    """
+    interval = (2 * nsig + 1.0) / kernlen
+    x = jnp.linspace(-nsig - interval / 2.0, nsig + interval / 2.0, kernlen + 1)
+    cdf = 0.5 * (1.0 + lax.erf(x / math.sqrt(2.0)))
+    kern1d = jnp.diff(cdf)
+    kernel_raw = jnp.sqrt(jnp.outer(kern1d, kern1d))
+    return kernel_raw / jnp.sum(kernel_raw)
+
+
+_BLUR_KERNEL_21 = None
+
+
+def blur(x: jax.Array) -> jax.Array:
+    """21x21 Gaussian depthwise blur, reflect padding.
+
+    Parity: utils/utils.py:52-58 (kernel_size=21, nsig=1, reflect pad 10).
+    """
+    global _BLUR_KERNEL_21
+    if _BLUR_KERNEL_21 is None:
+        _BLUR_KERNEL_21 = gauss_kernel(21, 1.0)
+    k = _BLUR_KERNEL_21.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (10, 10), (10, 10), (0, 0)), mode="reflect")
+    return depthwise_conv2d(xp, k, padding=0)
+
+
+def _box_sum(x: jax.Array, k: int) -> jax.Array:
+    """Unpadded k x k sliding-window sum via separable depthwise conv."""
+    ones_col = jnp.ones((k, 1), dtype=x.dtype)
+    x = depthwise_conv2d(x, ones_col, padding=0)
+    return depthwise_conv2d(x, ones_col.T, padding=0)
+
+
+def local_mean(x: jax.Array, patch_size: int = 5) -> jax.Array:
+    """5x5 sliding mean with reflect padding. Parity: utils/utils.py:41-50."""
+    p = patch_size // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    return _box_sum(xp, patch_size) / (patch_size * patch_size)
+
+
+def local_stddev(x: jax.Array, patch_size: int = 5, eps: float = 1e-9) -> jax.Array:
+    """Window stddev with reflect padding. Parity: loss.py:123-131.
+
+    mean over window of (patch - window_mean)^2 == E[x^2] - E[x]^2 with both
+    expectations over the same window.
+    """
+    p = patch_size // 2
+    n = patch_size * patch_size
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    m = _box_sum(xp, patch_size) / n
+    ex2 = _box_sum(xp * xp, patch_size) / n
+    var = jnp.maximum(ex2 - m * m, 0.0)
+    return jnp.sqrt(var + eps)
+
+
+def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:
+    """torch ``nn.AvgPool2d`` with count_include_pad=True (the default)."""
+    s = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return s / (kernel * kernel)
+
+
+def calculate_local_variance(x: jax.Array) -> jax.Array:
+    """Local variance vs the 5x5 AvgPool mean, zero padding.
+
+    Parity: utils/utils.py:66-79 -- noisy_avg = AvgPool2d(5, pad=2,
+    count_include_pad), then the 5x5 window mean (zero-padded, via
+    ``padr_tensor``) of (x - noisy_avg)^2.
+    """
+    avg = avg_pool2d(x, kernel=5, stride=1, padding=2)
+    d2 = (x - avg) ** 2
+    d2p = jnp.pad(d2, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    return _box_sum(d2p, 5) / 25.0
+
+
+def texture_difference(
+    img1: jax.Array,
+    img2: jax.Array,
+    *,
+    patch_size: int = 5,
+    constant_c: float = 1e-5,
+    threshold: float = 0.975,
+) -> jax.Array:
+    """Binary texture-similarity mask. Parity: loss.py:99-136.
+
+    Grayscale conversion uses the reference's (quirky) channel coefficients
+    0.144*R + 0.587*G + 0.299*B (loss.py:135). img: (B, H, W, 3) ->
+    (B, H, W, 1) float mask in {0, 1}.
+    """
+    def gray(im):
+        return (
+            0.144 * im[..., 0:1] + 0.5870 * im[..., 1:2] + 0.299 * im[..., 2:3]
+        )
+
+    s1 = local_stddev(gray(img1), patch_size)
+    s2 = local_stddev(gray(img2), patch_size)
+    diff = (2.0 * s1 * s2) / (s1 * s1 + s2 * s2 + constant_c)
+    return jnp.where(diff > threshold, 1.0, 0.0).astype(img1.dtype)

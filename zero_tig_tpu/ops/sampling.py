@@ -1,0 +1,110 @@
+"""Bilinear grid sampling with exact PyTorch ``F.grid_sample`` semantics.
+
+The reference uses grid_sample in BOTH alignment conventions:
+  * ``align_corners=False`` + zeros padding for backward warping
+    (utils/utils.py:225), and
+  * ``align_corners=True`` + zeros padding for RAFT correlation lookup
+    (utils/utils.py:285-299).
+
+Both are implemented as four masked gathers over a flattened image; XLA
+lowers these to TPU gather ops and fuses the lerp arithmetic. A
+pixel-coordinate fast path (`grid_sample_pixel`) skips the [-1,1]
+normalize/denormalize round-trip for the corr lookup hot loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_2d(img_flat: jax.Array, ix: jax.Array, iy: jax.Array, w: int):
+    """Gather img_flat (B, H*W, C) at integer (iy, ix) -> (B, ..., C)."""
+    idx = iy * w + ix
+    b = img_flat.shape[0]
+    flat_idx = idx.reshape(b, -1)
+    out = jnp.take_along_axis(img_flat, flat_idx[..., None], axis=1)
+    return out.reshape(*idx.shape, img_flat.shape[-1])
+
+
+def grid_sample_pixel(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample `img` (B,H,W,C) at pixel coords (x, y), zeros padding.
+
+    Equivalent to torch grid_sample(align_corners=True, padding_mode='zeros')
+    when the grid was built from pixel coordinates as in the reference
+    ``bilinear_sampler`` (utils/utils.py:285-299): a corner pixel outside
+    [0, W-1] x [0, H-1] contributes zero.
+
+    x, y: (B, ...) pixel coordinates. Returns (B, ..., C).
+    """
+    b, h, w, c = img.shape
+    dtype = img.dtype
+    x = x.astype(dtype)
+    y = y.astype(dtype)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner_weight(xi, yi, wxi, wyi):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        return jnp.where(inb, wxi * wyi, 0.0)
+
+    w00 = corner_weight(x0, y0, wx0, wy0)
+    w01 = corner_weight(x1, y0, wx1, wy0)
+    w10 = corner_weight(x0, y1, wx0, wy1)
+    w11 = corner_weight(x1, y1, wx1, wy1)
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 1)
+
+    flat = img.reshape(b, h * w, c)
+    out = (
+        _gather_2d(flat, x0i, y0i, w) * w00[..., None]
+        + _gather_2d(flat, x1i, y0i, w) * w01[..., None]
+        + _gather_2d(flat, x0i, y1i, w) * w10[..., None]
+        + _gather_2d(flat, x1i, y1i, w) * w11[..., None]
+    )
+    return out
+
+
+def grid_sample(
+    img: jax.Array,
+    grid: jax.Array,
+    *,
+    align_corners: bool = False,
+) -> jax.Array:
+    """torch ``F.grid_sample`` (bilinear, padding_mode='zeros'), NHWC.
+
+    img: (B, H, W, C); grid: (B, Hg, Wg, 2) with normalized (x, y) in [-1, 1].
+    Returns (B, Hg, Wg, C).
+    """
+    h, w = img.shape[1], img.shape[2]
+    gx = grid[..., 0].astype(img.dtype)
+    gy = grid[..., 1].astype(img.dtype)
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (w - 1)
+        y = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1.0) * w - 1.0) * 0.5
+        y = ((gy + 1.0) * h - 1.0) * 0.5
+    return grid_sample_pixel(img, x, y)
+
+
+def coords_grid(batch: int, ht: int, wd: int, dtype=jnp.float32) -> jax.Array:
+    """(B, H, W, 2) grid of (x, y) pixel coordinates.
+
+    Parity: utils/utils.py:302-305 (channel order x then y), NHWC layout.
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(ht, dtype=dtype), jnp.arange(wd, dtype=dtype), indexing="ij"
+    )
+    grid = jnp.stack([xs, ys], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, ht, wd, 2))

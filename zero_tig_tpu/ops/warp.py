@@ -1,0 +1,56 @@
+"""Backward warping of the previous frame's output by RAFT flow.
+
+Parity: ``warp_tensor`` (utils/utils.py:203-230), including the reference's
+scale-swap quirk: ``map_x`` is multiplied by h_scale and ``map_y`` by w_scale
+(utils/utils.py:215-216). This is harmless at the default operating point
+(1080p frames, of_scale=3: both scales are 3.0) but is preserved so outputs
+match the reference on every input shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize_bilinear
+from .sampling import grid_sample
+
+
+def warp_tensor(
+    flow: jax.Array, img1: jax.Array, img2: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Backward-warp `img1` to the current frame using flow at flow-res.
+
+    flow: (B, Hf, Wf, 2) optical flow last->current at (possibly padded)
+      flow resolution, (x, y) channel order.
+    img1: (B, H, W, C) previous output to warp (full resolution).
+    img2: (B, H, W, C) current frame (only used for the 0.5/0.5 overlap).
+
+    Returns (warped, overlap).
+    """
+    hf, wf = flow.shape[-3], flow.shape[-2]
+    h_dst, w_dst = img1.shape[-3], img1.shape[-2]
+    h_scale = float(h_dst) / float(hf)
+    w_scale = float(w_dst) / float(wf)
+
+    dtype = img1.dtype
+    gy, gx = jnp.meshgrid(
+        jnp.arange(hf, dtype=dtype), jnp.arange(wf, dtype=dtype), indexing="ij"
+    )
+    # Reference quirk (utils/utils.py:215-216): h_scale on x, w_scale on y.
+    map_x = (gx[None] - flow[..., 0]) * h_scale
+    map_y = (gy[None] - flow[..., 1]) * w_scale
+
+    maps = jnp.stack([map_x, map_y], axis=-1)  # (B, Hf, Wf, 2)
+    maps = resize_bilinear(maps, (h_dst, w_dst), align_corners=False)
+
+    grid = jnp.stack(
+        [
+            maps[..., 0] / ((w_dst - 1) / 2.0) - 1.0,
+            maps[..., 1] / ((h_dst - 1) / 2.0) - 1.0,
+        ],
+        axis=-1,
+    )
+    warped = grid_sample(img1, grid, align_corners=False)
+    overlap = 0.5 * warped + 0.5 * img2
+    return warped, overlap
