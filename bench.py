@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused 1080p enhance+RAFT+warp inference, frames/sec/chip.
+
+Runs the full per-frame inference step (denoise_1 -> RAFT flow at 1/3 res ->
+backward warp -> enhancer -> denoise_2) as ONE jitted XLA graph at the
+reference operating point (1920x1080 frames, of_scale=3, 12 RAFT iterations;
+BASELINE.md "Operating points"), threading the recurrent carry exactly like
+streaming video inference.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline: ratio to the reference implementation's estimated A100 frame
+rate (15 fps -- see BASELINE.md "Reference baseline estimate"; the reference
+cannot execute in this image: CUDA-only train path, torchvision/skimage/lpips
+not installed, reference weights not in the snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_BASELINE_FPS = 15.0  # documented estimate, BASELINE.md
+
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", "1080"))
+WIDTH = int(os.environ.get("BENCH_WIDTH", "1920"))
+OF_SCALE = int(os.environ.get("BENCH_OF_SCALE", "3"))
+RAFT_ITERS = int(os.environ.get("BENCH_RAFT_ITERS", "12"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+
+
+def main() -> None:
+    from zero_tig_tpu.models import (
+        init_network_variables,
+        init_raft_variables,
+    )
+    from zero_tig_tpu.pipeline import predict_step
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    frame = jax.random.uniform(k1, (1, HEIGHT, WIDTH, 3), jnp.float32) * 0.2
+    noise = jax.random.uniform(k2, (1, HEIGHT, WIDTH, 3), jnp.float32)
+    carry = {
+        "last_H3": jnp.zeros_like(frame),
+        "last_s3": jnp.zeros_like(frame) + 0.5,
+    }
+
+    def step(carry, f, new):
+        return predict_step(
+            net_vars, raft_vars, f, carry, jnp.asarray(new),
+            of_scale=OF_SCALE, raft_iters=RAFT_ITERS,
+        )
+
+    # warmup (compile) + prime the recurrence
+    t0 = time.time()
+    (_, _, _), carry = step(carry, frame, True)
+    jax.block_until_ready(carry)
+    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    for _ in range(WARMUP):
+        (_, _, _), carry = step(carry, frame, False)
+    jax.block_until_ready(carry)
+
+    times = []
+    for i in range(STEPS):
+        f = frame + 0.001 * (i % 3) * noise  # vary input, avoid caching
+        t1 = time.time()
+        (H2, H3, s3), carry = step(carry, f, False)
+        jax.block_until_ready(H3)
+        times.append(time.time() - t1)
+
+    sec = statistics.median(times)
+    fps = 1.0 / sec
+    print(
+        f"# median {sec * 1e3:.1f} ms/frame over {STEPS} steps "
+        f"({HEIGHT}x{WIDTH}, of_scale={OF_SCALE}, iters={RAFT_ITERS})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_enhance_raft_warp_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

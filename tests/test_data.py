@@ -1,0 +1,82 @@
+"""Data-layer tests: loader semantics, is_new_seq protocol, prefetcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+from zero_tig_tpu.data import (
+    RLVDataset,
+    create_dataset,
+    device_prefetch,
+    gt_path_for,
+    make_rlv_fixture,
+    sequential_judgment,
+    sort_files_by_name,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rlv"))
+    return make_rlv_fixture(root, frames_per_scene=3, size=(32, 24))
+
+
+def test_sequential_judgment_semantics():
+    # same dir, consecutive -> continuation
+    assert not sequential_judgment("/a/b/00002.png", "/a/b/00001.png")
+    # gap -> new sequence
+    assert sequential_judgment("/a/b/00003.png", "/a/b/00001.png")
+    # different dir -> new sequence
+    assert sequential_judgment("/a/c/00002.png", "/a/b/00001.png")
+    # self-comparison (first frame) -> new sequence
+    assert sequential_judgment("/a/b/00001.png", "/a/b/00001.png")
+
+
+def test_sort_files_by_name():
+    files = ["/x/10.png", "/x/2.png", "/x/1.png"]
+    assert [os.path.basename(p) for p in sort_files_by_name(files)] == [
+        "1.png", "2.png", "10.png",
+    ]
+
+
+def test_rlv_dataset_order_and_flags(fixture_root):
+    ds = RLVDataset(fixture_root, "train", size=(32, 24))
+    assert len(ds) == 6  # 2 scenes x 3 frames
+    recs = list(ds)
+    flags = [r.is_new_seq for r in recs]
+    assert flags == [True, False, False, True, False, False]
+    assert recs[0].image.shape == (24, 32, 3)
+    assert recs[0].image.dtype == np.float32
+    assert 0.0 <= recs[0].image.min() and recs[0].image.max() <= 1.0
+    # epoch 2: previous path persists across epochs (reference quirk) -- the
+    # first frame is still a new sequence because indices don't continue
+    flags2 = [r.is_new_seq for r in ds]
+    assert flags2[0] is True
+
+
+def test_factory_and_gt_path(fixture_root):
+    ds = create_dataset("RLV", fixture_root, "test", size=(32, 24))
+    assert len(ds) == 6
+    rec = next(iter(ds))
+    gt = gt_path_for(rec.path)
+    assert "gt" in gt and "normal_light_" in gt
+    assert os.path.exists(gt)
+
+
+def test_generic_dataset(fixture_root):
+    ds = create_dataset(
+        "underwater", os.path.join(fixture_root, "input"), "train",
+        size=(32, 24),
+    )
+    assert len(ds) == 6  # recursive walk finds all input frames
+
+
+def test_device_prefetch(fixture_root):
+    ds = RLVDataset(fixture_root, "train", size=(32, 24))
+    out = list(device_prefetch(iter(ds), depth=2))
+    assert len(out) == 6
+    assert out[0].image.shape == (1, 24, 32, 3)
+    assert out[0].is_new_seq is True
+    # device-resident
+    assert hasattr(out[0].image, "devices")

@@ -1,0 +1,143 @@
+"""Zero-shot training CLI. Parity: reference train.py (same flags/artifacts).
+
+Artifacts per run (train.py:33-36, :135, :149-152):
+    <save>/Train-YYYYmmdd-HHMMSS/
+        log.txt, scripts/ (snapshot), initial_weights.pt
+        model_epochs/weights_<epoch>.pt      (+ .msgpack native twins)
+        result/{denoise,enhance}/<scene>_<frame>_{denoise,enhance}_<e>.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import save_msgpack, save_torch_pt
+from ..core.config import Config, add_config_args, config_from_args
+from ..data import create_dataset, device_prefetch
+from ..pipeline import eval_forward_step, init_train_state, train_step
+from .common import (
+    count_parameters_in_mb,
+    create_exp_dir,
+    load_variables,
+    setup_logging,
+    write_png,
+)
+
+
+def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
+    """Train per config; returns the run directory."""
+    run_dir = create_exp_dir(config.save)
+    model_dir = os.path.join(run_dir, "model_epochs")
+    os.makedirs(model_dir, exist_ok=True)
+    log = setup_logging(run_dir)
+    log.info("args = %s", config)
+
+    net_vars, raft_vars = load_variables(config)
+    log.info("model size = %f", count_parameters_in_mb(
+        {"net": net_vars["params"], "raft": raft_vars["params"]}))
+
+    size = (config.frame_width, config.frame_height)
+    train_ds = create_dataset(
+        config.dataset, config.lowlight_images_path, "train", size=size
+    )
+    log.info("Training data: %d", len(train_ds))
+    test_ds = create_dataset(
+        config.dataset, config.lowlight_images_path, "test", size=size
+    )
+    log.info("Test data: %d", len(test_ds))
+
+    frame_shape = (config.batch_size, config.frame_height, config.frame_width, 3)
+    state = init_train_state(config, net_vars, frame_shape)
+    save_msgpack(os.path.join(run_dir, "initial_weights.msgpack"),
+                 {"params": state.params, "batch_stats": state.batch_stats})
+
+    step_kwargs = dict(
+        of_scale=config.of_scale,
+        raft_iters=config.raft_iters,
+        is_wb=config.is_wb,
+        lr=config.lr,
+        grad_clip=config.grad_clip,
+        weight_decay=config.weight_decay,
+    )
+
+    for epoch in range(config.epochs):
+        # reference BN-mode schedule quirk: only epoch 0 trains with batch
+        # statistics (train.py:115-138; see models.network.forward_train)
+        bn_train = (epoch == 0) if bn_schedule_faithful else True
+        losses = []
+        for idx, rec in enumerate(
+            device_prefetch(iter(train_ds), depth=config.prefetch_depth)
+        ):
+            state, loss = train_step(
+                state, raft_vars, rec.image,
+                jnp.asarray(rec.is_new_seq), bn_train=bn_train, **step_kwargs,
+            )
+            losses.append(float(loss))
+            log.info("train-epoch %03d %03d %f", epoch, idx, losses[-1])
+        log.info("train-epoch %03d %f", epoch, float(np.mean(losses)))
+
+        net_out = {"params": state.params, "batch_stats": state.batch_stats}
+        save_msgpack(
+            os.path.join(model_dir, f"weights_{epoch}.msgpack"), net_out
+        )
+        try:
+            save_torch_pt(
+                os.path.join(model_dir, f"weights_{epoch}.pt"),
+                net_out, raft_vars,
+            )
+        except ImportError:
+            log.warning("torch unavailable: skipped .pt export")
+
+        # per-epoch eval image dump (train.py:137-152)
+        _dump_eval_images(config, state, raft_vars, test_ds, run_dir, epoch)
+    return run_dir
+
+
+def _dump_eval_images(config, state, raft_vars, test_ds, run_dir, epoch):
+    os.makedirs(os.path.join(run_dir, "result", "denoise"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "result", "enhance"), exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    carry = None
+    for rec in device_prefetch(iter(test_ds), depth=config.prefetch_depth):
+        if carry is None:
+            zeros = jnp.zeros_like(rec.image)
+            carry = {"last_H3": zeros, "last_s3": zeros}
+        (H2, H3), carry = eval_forward_step(
+            variables, raft_vars, rec.image, carry,
+            jnp.asarray(rec.is_new_seq),
+            of_scale=config.of_scale, raft_iters=config.raft_iters,
+        )
+        # reference names dumps by the immediate parent dir only
+        # (train.py:146), which collides across scenes sharing a brightness
+        # folder; include the scene dir as well.
+        parent = os.path.dirname(rec.path)
+        scene = f"{os.path.basename(os.path.dirname(parent))}_{os.path.basename(parent)}"
+        name = f"{scene}_{rec.name}"
+        write_png(
+            os.path.join(run_dir, "result", "denoise",
+                         f"{name}_denoise_{epoch}.png"),
+            np.asarray(H3)[0],
+        )
+        write_png(
+            os.path.join(run_dir, "result", "enhance",
+                         f"{name}_enhance_{epoch}.png"),
+            np.asarray(H2)[0],
+        )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("ZERO-TIG")
+    add_config_args(parser)
+    config = config_from_args(parser.parse_args(argv))
+    np.random.seed(config.seed)
+    run_training(config)
+
+
+if __name__ == "__main__":
+    main()

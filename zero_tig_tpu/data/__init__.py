@@ -1,0 +1,30 @@
+from .datasets import (
+    DIDDataset,
+    FrameDataset,
+    FrameRecord,
+    GenericDataset,
+    RLVDataset,
+    SDSDDataset,
+    create_dataset,
+    gt_path_for,
+    sequential_judgment,
+    sort_files_by_name,
+)
+from .prefetch import DeviceRecord, device_prefetch
+from .synthetic import make_rlv_fixture
+
+__all__ = [
+    "DIDDataset",
+    "DeviceRecord",
+    "FrameDataset",
+    "FrameRecord",
+    "GenericDataset",
+    "RLVDataset",
+    "SDSDDataset",
+    "create_dataset",
+    "device_prefetch",
+    "gt_path_for",
+    "make_rlv_fixture",
+    "sequential_judgment",
+    "sort_files_by_name",
+]

@@ -1,0 +1,70 @@
+"""Double-buffered host->device frame prefetching.
+
+The reference blocks on PIL decode -> ToTensor -> .cuda() for every frame
+(multi_read_data.py:127-132, train.py:125). Here a background thread decodes
+and stages the next frames while the device computes the current one, and
+``jax.device_put`` is issued ahead of use so the H2D DMA (~24 MB/frame at
+1080p f32) overlaps compute. Named explicitly in the BASELINE.json north
+star.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import FrameRecord
+
+
+class DeviceRecord:
+    """A frame already resident on device."""
+
+    __slots__ = ("image", "name", "path", "is_new_seq")
+
+    def __init__(self, image, name, path, is_new_seq):
+        self.image = image  # (1, H, W, 3) jax array on device
+        self.name = name
+        self.path = path
+        self.is_new_seq = is_new_seq
+
+
+def device_prefetch(
+    records: Iterable[FrameRecord],
+    *,
+    depth: int = 2,
+    device=None,
+    dtype=jnp.float32,
+) -> Iterator[DeviceRecord]:
+    """Iterate records with a decode thread + `depth`-deep device staging."""
+    if device is None:
+        device = jax.devices()[0]
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def worker():
+        try:
+            for rec in records:
+                img = np.asarray(rec.image, np.float32)[None]  # (1, H, W, 3)
+                dev = jax.device_put(jnp.asarray(img, dtype), device)
+                q.put(DeviceRecord(dev, rec.name, rec.path, rec.is_new_seq))
+        except BaseException as e:  # surfaced to the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

@@ -65,6 +65,7 @@ class Conv(nn.Module):
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(x.dtype)
         if self.use_bias:
             b = self.param(

@@ -1,0 +1,321 @@
+"""The composed Zero-TIG network: denoise -> (flow+warp) -> enhance -> refine.
+
+Parity: ``Network`` (training forward, model/model.py:84-259) and
+``Finetunemodel`` (inference forward, model/model.py:262-384), re-designed as
+pure functions:
+
+    forward_train(variables, raft_vars, frame, carry, is_new_seq) ->
+        (TrainOutputs, new_batch_stats)
+    forward_inference(variables, raft_vars, frame, carry, is_new_seq) ->
+        (H2, H3, s3)
+
+where ``carry = {'last_H3', 'last_s3'}`` replaces the reference's mutable
+module attributes (model/model.py:99-103) and ``is_new_seq`` is a traced bool
+(jnp.where select), so a single jitted graph serves every frame.
+
+Gradient-stop placement mirrors the reference ``.detach()`` calls exactly:
+the enhancer input (model/model.py:168), the H*_pred anchor terms
+(model/model.py:179,184,189), and the whole flow+warp branch
+(torch.no_grad(), model/model.py:243-245).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.equalize import equalize01
+from ..ops.filters import blur, pair_downsampler, texture_difference
+from ..ops.resize import resize_bilinear
+from ..ops.warp import warp_tensor
+from .denoise import Denoise1, Denoise2
+from .enhancer import Enhancer
+from .raft.raft import init_raft_variables, raft_forward
+
+EPS = 1e-4
+
+ENHANCER = Enhancer(layers=3, channels=64)
+DENOISE_1 = Denoise1(chan_embed=48)
+DENOISE_2 = Denoise2(chan_embed=48)
+
+
+class TrainOutputs(NamedTuple):
+    """The reference's 23-tuple forward output (model/model.py:203)."""
+
+    L_pred1: jax.Array
+    L_pred2: jax.Array
+    L2: jax.Array
+    s2: jax.Array
+    s21: jax.Array
+    s22: jax.Array
+    H2: jax.Array
+    H11: jax.Array
+    H12: jax.Array
+    H13: jax.Array
+    s13: jax.Array
+    H14: jax.Array
+    s14: jax.Array
+    H3: jax.Array
+    s3: jax.Array
+    H3_pred: jax.Array
+    H4_pred: jax.Array
+    L_pred1_L_pred2_diff: jax.Array
+    H3_denoised1_H3_denoised2_diff: jax.Array
+    H2_blur: jax.Array
+    H3_blur: jax.Array
+    H3_denoised1: jax.Array
+    H3_denoised2: jax.Array
+
+
+def init_network_variables(key: jax.Array, h: int = 64, w: int = 64) -> dict:
+    """Init {'params': {enhance, denoise_1, denoise_2}, 'batch_stats': ...}.
+
+    Denoisers keep torch-default conv init; the enhancer is then re-drawn
+    with the reference custom init (see reinit_enhancer) by train.py, exactly
+    like train.py:82-84.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    dummy9 = jnp.zeros((1, h, w, 9), jnp.float32)
+    dummy3 = jnp.zeros((1, h, w, 3), jnp.float32)
+    dummy12 = jnp.zeros((1, h, w, 12), jnp.float32)
+    enh = ENHANCER.init(k1, dummy9, use_running_average=False)
+    d1 = DENOISE_1.init(k2, dummy3)
+    d2 = DENOISE_2.init(k3, dummy12)
+    return {
+        "params": {
+            "enhance": enh["params"],
+            "denoise_1": d1["params"],
+            "denoise_2": d2["params"],
+        },
+        "batch_stats": {"enhance": enh["batch_stats"]},
+    }
+
+
+def reinit_enhancer(key: jax.Array, params: dict) -> dict:
+    """Reference enhancer init (model/model.py:123-130, train.py:82-84):
+    conv kernels ~ N(0, 0.02), conv biases = 0, BN scale ~ N(1, 0.02)."""
+    flat = jax.tree_util.tree_flatten_with_path(params["enhance"])[0]
+    new_enh = params["enhance"]
+
+    leaves = {jax.tree_util.keystr(p): v for p, v in flat}
+    keys = jax.random.split(key, len(leaves))
+    out = {}
+    for i, (path, v) in enumerate(sorted(leaves.items())):
+        if path.endswith("['kernel']"):
+            out[path] = 0.02 * jax.random.normal(keys[i], v.shape, v.dtype)
+        elif "['bn']" in path and path.endswith("['scale']"):
+            out[path] = 1.0 + 0.02 * jax.random.normal(keys[i], v.shape, v.dtype)
+        elif path.endswith("['bias']"):
+            out[path] = jnp.zeros_like(v)
+        else:
+            out[path] = v
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, prefix + f"['{k}']") for k, v in tree.items()}
+        return out[prefix]
+
+    new_enh = rebuild(params["enhance"])
+    return {**params, "enhance": new_enh}
+
+
+def update_cache(
+    raft_vars: Any,
+    last_H3: jax.Array,
+    last_s3: jax.Array,
+    L2: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+) -> tuple[jax.Array, jax.Array]:
+    """Flow from previous output to current frame, then backward warp.
+
+    Parity: model/model.py:221-259. Runs entirely under stop_gradient
+    (reference: torch.no_grad() around RAFT; warped tensors feed detached
+    paths only).
+    """
+    ht_org, wd_org = last_H3.shape[-3], last_H3.shape[-2]
+    ht, wd = ht_org // of_scale, wd_org // of_scale
+    last_tmp = resize_bilinear(last_H3, (ht, wd), align_corners=False)
+    l2_tmp = resize_bilinear(L2, (ht, wd), align_corners=False)
+
+    last_tmp = last_tmp * 255.0  # NOT equalized (model/model.py:230-232)
+    l2_tmp = equalize01(l2_tmp)  # equalized   (model/model.py:234)
+
+    _, flow_up = raft_forward(raft_vars, last_tmp, l2_tmp, iters=raft_iters)
+    warped_H3, _ = warp_tensor(flow_up, last_H3, L2)
+    warped_s3, _ = warp_tensor(flow_up, last_s3, L2)
+    return jax.lax.stop_gradient(warped_H3), jax.lax.stop_gradient(warped_s3)
+
+
+def forward_train(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    bn_train: bool = True,
+) -> tuple[TrainOutputs, dict, dict]:
+    """Full training forward. Returns (outputs, new_batch_stats, new_carry).
+
+    frame: (B, H, W, 3) in [0, 1]. carry: {'last_H3','last_s3'} same shape.
+    is_new_seq: traced bool -- when True the warped previous state is zeroed
+    (model/model.py:155-161).
+
+    bn_train: reference schedule quirk (train.py:115-138): ``model.train()``
+    runs once before the epoch loop and ``model.eval()`` -- called for the
+    per-epoch image dump -- is never reverted, so only EPOCH 0 trains with
+    batch-statistics BatchNorm; epochs >= 1 train against frozen running
+    stats. Pass bn_train=(epoch == 0) for bug-faithful training.
+    """
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sg = jax.lax.stop_gradient
+
+    inp = frame + EPS
+    L11, L12 = pair_downsampler(inp)
+
+    def d1(x):
+        return DENOISE_1.apply({"params": params["denoise_1"]}, x)
+
+    def d2(x):
+        return DENOISE_2.apply({"params": params["denoise_2"]}, x)
+
+    L_pred1 = L11 - d1(L11)
+    L_pred2 = L12 - d1(L12)
+    L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
+
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"],
+        carry["last_s3"],
+        sg(L2),
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    zero = jnp.zeros_like(L2)
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    last_H3_wp = jnp.where(new_flag, zero, warped_H3)
+    last_s3_wp = jnp.where(new_flag, zero, warped_s3)
+    last_H31_wp, last_H32_wp = pair_downsampler(last_H3_wp)
+    last_s31_wp, last_s32_wp = pair_downsampler(last_s3_wp)
+
+    enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
+    enh_vars = {"params": params["enhance"], "batch_stats": batch_stats["enhance"]}
+    if bn_train:
+        s2, mut = ENHANCER.apply(
+            enh_vars, enh_in, use_running_average=False, mutable=["batch_stats"]
+        )
+        new_batch_stats = {"enhance": mut["batch_stats"]}
+    else:
+        s2 = ENHANCER.apply(enh_vars, enh_in, use_running_average=True)
+        new_batch_stats = batch_stats
+
+    s21, s22 = pair_downsampler(s2)
+    H2 = jnp.clip(inp / s2, EPS, 1.0)
+    H11 = jnp.clip(L11 / s21, EPS, 1.0)
+    H12 = jnp.clip(L12 / s22, EPS, 1.0)
+
+    H3_pred = jnp.clip(
+        sg(jnp.concatenate([H11, s21], -1))
+        - d2(jnp.concatenate([last_H31_wp, last_s31_wp, H11, s21], -1)),
+        EPS,
+        1.0,
+    )
+    H13, s13 = H3_pred[..., :3], H3_pred[..., 3:]
+
+    H4_pred = jnp.clip(
+        sg(jnp.concatenate([H12, s22], -1))
+        - d2(jnp.concatenate([last_H32_wp, last_s32_wp, H12, s22], -1)),
+        EPS,
+        1.0,
+    )
+    H14, s14 = H4_pred[..., :3], H4_pred[..., 3:]
+
+    H5_pred = jnp.clip(
+        sg(jnp.concatenate([H2, s2], -1))
+        - d2(jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1)),
+        EPS,
+        1.0,
+    )
+    H3, s3 = H5_pred[..., :3], H5_pred[..., 3:]
+
+    L_diff = texture_difference(L_pred1, L_pred2)
+    H3_denoised1, H3_denoised2 = pair_downsampler(H3)
+    H3_diff = texture_difference(H3_denoised1, H3_denoised2)
+
+    H1 = jnp.clip(L2 / s2, 0.0, 1.0)
+    H2_blur = blur(H1)
+    H3_blur = blur(H3)
+
+    outputs = TrainOutputs(
+        L_pred1, L_pred2, L2, s2, s21, s22, H2, H11, H12, H13, s13, H14, s14,
+        H3, s3, H3_pred, H4_pred, L_diff, H3_diff, H2_blur, H3_blur,
+        H3_denoised1, H3_denoised2,
+    )
+    new_carry = {"last_H3": sg(H3), "last_s3": sg(s3)}
+    return outputs, new_batch_stats, new_carry
+
+
+def forward_inference(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
+    """Inference forward. Parity: Finetunemodel.forward (model/model.py:312-340).
+
+    Quirk preserved: on a new sequence the refiner's "warped previous" input
+    is H2 itself, not zeros (model/model.py:330-332). BatchNorm runs in eval
+    mode (running statistics). Returns ((H2, H3, s3), new_carry).
+    """
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    inp = frame + EPS
+    L2 = jnp.clip(
+        inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
+    )
+
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"],
+        carry["last_s3"],
+        L2,
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    zero = jnp.zeros_like(L2)
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    last_H3_wp = jnp.where(new_flag, zero, warped_H3)
+    last_s3_wp = jnp.where(new_flag, zero, warped_s3)
+
+    s2 = ENHANCER.apply(
+        {"params": params["enhance"], "batch_stats": batch_stats["enhance"]},
+        jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1),
+        use_running_average=True,
+    )
+    H2 = jnp.clip(inp / s2, EPS, 1.0)
+
+    last_H3_wp = jnp.where(new_flag, H2, last_H3_wp)
+    last_s3_wp = jnp.where(new_flag, H2, last_s3_wp)
+
+    H5_pred = jnp.clip(
+        jnp.concatenate([H2, s2], -1)
+        - DENOISE_2.apply(
+            {"params": params["denoise_2"]},
+            jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1),
+        ),
+        EPS,
+        1.0,
+    )
+    H3, s3 = H5_pred[..., :3], H5_pred[..., 3:]
+    new_carry = {"last_H3": H3, "last_s3": s3}
+    return (H2, H3, s3), new_carry

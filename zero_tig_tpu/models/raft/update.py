@@ -1,0 +1,83 @@
+"""RAFT iterative update machinery.
+
+Parity: ``BasicMotionEncoder`` / ``SepConvGRU`` / ``FlowHead`` /
+``BasicUpdateBlock`` (model/RAFT/update.py:6-136).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import Conv
+
+
+class FlowHead(nn.Module):
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv(self.hidden_dim, (3, 3), padding=1, name="conv1")(x))
+        return Conv(2, (3, 3), padding=1, name="conv2")(x)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) gated conv GRU, hidden 128."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        hd = self.hidden_dim
+        # horizontal pass
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(Conv(hd, (1, 5), padding=(0, 2), name="convz1")(hx))
+        r = nn.sigmoid(Conv(hd, (1, 5), padding=(0, 2), name="convr1")(hx))
+        q = nn.tanh(
+            Conv(hd, (1, 5), padding=(0, 2), name="convq1")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        h = (1 - z) * h + z * q
+        # vertical pass
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(Conv(hd, (5, 1), padding=(2, 0), name="convz2")(hx))
+        r = nn.sigmoid(Conv(hd, (5, 1), padding=(2, 0), name="convr2")(hx))
+        q = nn.tanh(
+            Conv(hd, (5, 1), padding=(2, 0), name="convq2")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    """Fuses correlation cost features (324ch) and current flow into 128ch."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(Conv(192, (3, 3), padding=1, name="convc2")(cor))
+        flo = nn.relu(Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        flo = nn.relu(Conv(64, (3, 3), padding=1, name="convf2")(flo))
+        out = nn.relu(
+            Conv(126, (3, 3), padding=1, name="conv")(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        delta_flow = FlowHead(256, name="flow_head")(net)
+        # mask head: conv3x3 128->256, relu, conv1x1 256->576, scaled 0.25
+        m = nn.relu(Conv(256, (3, 3), padding=1, name="mask_0")(net))
+        mask = 0.25 * Conv(64 * 9, (1, 1), name="mask_2")(m)
+        return net, mask, delta_flow

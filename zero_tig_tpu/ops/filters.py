@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -41,17 +43,24 @@ def pair_downsampler(img: jax.Array) -> tuple[jax.Array, jax.Array]:
 def gauss_kernel(kernlen: int = 21, nsig: float = 3.0) -> jax.Array:
     """erf-based Gaussian kernel, parity with utils/utils.py:29-39.
 
-    Note the reference's ``blur`` calls this with nsig=1 (utils/utils.py:56).
+    Computed host-side in numpy (float32, like torch.linspace) so the result
+    is a trace-safe constant. The reference's ``blur`` uses nsig=1
+    (utils/utils.py:56).
     """
+    from scipy.special import erf as np_erf
+
     interval = (2 * nsig + 1.0) / kernlen
-    x = jnp.linspace(-nsig - interval / 2.0, nsig + interval / 2.0, kernlen + 1)
-    cdf = 0.5 * (1.0 + lax.erf(x / math.sqrt(2.0)))
-    kern1d = jnp.diff(cdf)
-    kernel_raw = jnp.sqrt(jnp.outer(kern1d, kern1d))
-    return kernel_raw / jnp.sum(kernel_raw)
+    x = np.linspace(
+        -nsig - interval / 2.0, nsig + interval / 2.0, kernlen + 1,
+        dtype=np.float32,
+    )
+    cdf = 0.5 * (1.0 + np_erf(x / math.sqrt(2.0)))
+    kern1d = np.diff(cdf)
+    kernel_raw = np.sqrt(np.outer(kern1d, kern1d))
+    return jnp.asarray((kernel_raw / kernel_raw.sum()).astype(np.float32))
 
 
-_BLUR_KERNEL_21 = None
+_BLUR_KERNEL_21 = gauss_kernel(21, 1.0)
 
 
 def blur(x: jax.Array) -> jax.Array:
@@ -59,9 +68,6 @@ def blur(x: jax.Array) -> jax.Array:
 
     Parity: utils/utils.py:52-58 (kernel_size=21, nsig=1, reflect pad 10).
     """
-    global _BLUR_KERNEL_21
-    if _BLUR_KERNEL_21 is None:
-        _BLUR_KERNEL_21 = gauss_kernel(21, 1.0)
     k = _BLUR_KERNEL_21.astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (10, 10), (10, 10), (0, 0)), mode="reflect")
     return depthwise_conv2d(xp, k, padding=0)
@@ -97,16 +103,27 @@ def local_stddev(x: jax.Array, patch_size: int = 5, eps: float = 1e-9) -> jax.Ar
 
 
 def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:
-    """torch ``nn.AvgPool2d`` with count_include_pad=True (the default)."""
-    s = lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    """torch ``nn.AvgPool2d`` with count_include_pad=True (the default).
+
+    Implemented as a separable depthwise conv (differentiable; the generic
+    ``lax.reduce_window`` has no VJP rule in this form).
+    """
+    ones_col = jnp.ones((kernel, 1), dtype=x.dtype) / kernel
+    c = x.shape[-1]
+    w_col = jnp.broadcast_to(ones_col[:, :, None, None], (kernel, 1, 1, c))
+    x = lax.conv_general_dilated(
+        x, w_col, (stride, 1), [(padding, padding), (0, 0)],
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
     )
-    return s / (kernel * kernel)
+    w_row = jnp.broadcast_to(ones_col.T[:, :, None, None], (1, kernel, 1, c))
+    return lax.conv_general_dilated(
+        x, w_row, (1, stride), [(0, 0), (padding, padding)],
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
 
 
 def calculate_local_variance(x: jax.Array) -> jax.Array:

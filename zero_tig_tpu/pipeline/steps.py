@@ -1,0 +1,149 @@
+"""The fused per-frame steps: training and inference as single XLA graphs.
+
+This is the north-star fusion (BASELINE.json): flow + warp + enhance +
+denoise + loss + grad + clip + Adam update compile into ONE jitted program
+per frame; the reference dispatches hundreds of eager CUDA ops per frame
+(train.py:117-133).
+
+Optimizer parity with torch (train.py:98, :130):
+  * grads are global-norm clipped at 5.0 FIRST (torch clips p.grad before
+    optimizer.step()),
+  * THEN weight decay 3e-4 is added to the gradient (torch Adam is L2-in-
+    grad, NOT AdamW),
+  * then Adam(lr=1e-4, betas=(0.9, 0.999), eps=1e-8) with bias correction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import Config
+from ..losses.zero_tig_loss import zero_tig_loss
+from ..models.network import forward_inference, forward_train
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    carry: dict  # {'last_H3', 'last_s3'} recurrent video state
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.scale_by_adam(
+            b1=config.adam_beta1, b2=config.adam_beta2, eps=1e-8
+        ),
+        optax.scale(-config.lr),
+    )
+
+
+def init_train_state(
+    config: Config,
+    net_vars: dict,
+    frame_shape: tuple[int, int, int, int],
+) -> TrainState:
+    opt = make_optimizer(config)
+    zeros = jnp.zeros(frame_shape, jnp.float32)
+    return TrainState(
+        params=net_vars["params"],
+        batch_stats=net_vars["batch_stats"],
+        opt_state=opt.init(net_vars["params"]),
+        carry={"last_H3": zeros, "last_s3": zeros},
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "lr",
+                              "grad_clip", "weight_decay", "bn_train"),
+)
+def train_step(
+    state: TrainState,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    is_wb: bool = False,
+    lr: float = 1e-4,
+    grad_clip: float = 5.0,
+    weight_decay: float = 3e-4,
+    bn_train: bool = True,
+) -> tuple[TrainState, jax.Array]:
+    """One zero-shot training frame: returns (new_state, loss).
+
+    bn_train: pass (epoch == 0) for the reference's BN schedule quirk
+    (see models.network.forward_train).
+    """
+    cfg = Config(
+        lr=lr, grad_clip=grad_clip, weight_decay=weight_decay,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+    opt = make_optimizer(cfg)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        outputs, new_bs, new_carry = forward_train(
+            variables, raft_vars, frame, state.carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+        )
+        loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
+        return loss, (new_bs, new_carry)
+
+    (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(new_params, new_bs, new_opt_state, new_carry),
+        loss,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+def predict_step(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
+    """One inference frame: ((H2, H3, s3), new_carry)."""
+    return forward_inference(
+        variables, raft_vars, frame, carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+def eval_forward_step(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+):
+    """Training-model eval forward (train.py:137-152 image dumps): the torch
+    code calls model.eval() first, so BatchNorm consumes running statistics.
+    Returns (H2, H3) only.
+    """
+    outputs, _, new_carry = forward_train(
+        variables, raft_vars, frame, carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters, bn_train=False,
+    )
+    return (outputs.H2, outputs.H3), new_carry
