@@ -198,6 +198,44 @@ def test_lookup_corr_window_layout(rng):
             np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+def test_lookup_corr_matches_naive_sampler(rng):
+    """The patch-slice fast lookup must equal direct bilinear sampling
+    (grid_sample align_corners=True, zeros padding) at every level,
+    including fractional and far out-of-range coords."""
+    from zero_tig_tpu.ops.sampling import grid_sample_pixel
+
+    b, h, w, d = 1, 8, 10, 8
+    f1 = rng.standard_normal((b, h, w, d)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, d)).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=3)
+
+    # random coords spanning in-range, near-edge and far OOB
+    coords = (rng.random((b, h, w, 2)) * 30 - 10).astype(np.float32)
+    coords_j = jnp.asarray(coords)
+    r = 2
+    nwin = 2 * r + 1
+    out_fast = np.asarray(lookup_corr(pyr, coords_j, radius=r))
+
+    q = b * h * w
+    offs = jnp.linspace(-r, r, nwin)
+    cx = coords_j[..., 0].reshape(q)
+    cy = coords_j[..., 1].reshape(q)
+    naive = []
+    for lvl, corr_l in enumerate(pyr.levels):
+        sc = 1.0 / 2**lvl
+        x = jnp.broadcast_to(
+            cx[:, None, None] * sc + offs[None, :, None], (q, nwin, nwin)
+        )
+        y = jnp.broadcast_to(
+            cy[:, None, None] * sc + offs[None, None, :], (q, nwin, nwin)
+        )
+        naive.append(
+            np.asarray(grid_sample_pixel(corr_l, x, y)).reshape(b, h, w, -1)
+        )
+    out_naive = np.concatenate(naive, axis=-1)
+    np.testing.assert_allclose(out_fast, out_naive, atol=1e-5)
+
+
 def test_convex_upsample_matches_torch(rng):
     b, h, w = 1, 4, 5
     flow = rng.standard_normal((b, h, w, 2)).astype(np.float32)

@@ -314,4 +314,7 @@ def save_torch_pt(path: str, net_vars: dict, raft_vars: dict | None = None) -> N
     import torch
 
     sd = export_torch_state_dict(net_vars, raft_vars)
-    torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, path)
+    torch.save(
+        {k: torch.as_tensor(np.array(v, copy=True)) for k, v in sd.items()},
+        path,
+    )

@@ -1,0 +1,35 @@
+"""Global matmul/conv precision policy.
+
+TPU MXU natively multiplies in bfloat16; float32 inputs at
+``Precision.HIGHEST`` run multi-pass (~6x slower) but match the reference's
+f32 CUDA numerics. Two modes:
+
+  * "highest" (default): f32-faithful, for parity-critical runs/tests.
+  * "fast": single-pass bf16 multiplies with f32 accumulation -- the
+    TPU-native operating point. Quality impact is measured (not assumed):
+    tools/precision_delta.py reports the output PSNR between modes.
+
+The mode is read at TRACE time: call ``set_precision`` before the first
+jitted call (or clear caches) when switching.
+"""
+
+from __future__ import annotations
+
+from jax import lax
+
+_MODE = "highest"
+
+
+def set_precision(mode: str) -> None:
+    global _MODE
+    if mode not in ("highest", "fast"):
+        raise ValueError(f"unknown precision mode {mode!r}")
+    _MODE = mode
+
+
+def get_mode() -> str:
+    return _MODE
+
+
+def conv_precision() -> lax.Precision:
+    return lax.Precision.HIGHEST if _MODE == "highest" else lax.Precision.DEFAULT

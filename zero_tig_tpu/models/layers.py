@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..core.precision import conv_precision
+
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """kaiming_uniform(a=sqrt(5)) on an HWIO kernel (torch Conv2d default)."""
@@ -65,7 +67,7 @@ class Conv(nn.Module):
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=conv_precision(),
         ).astype(x.dtype)
         if self.use_bias:
             b = self.param(

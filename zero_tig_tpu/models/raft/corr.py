@@ -21,8 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ...core.precision import conv_precision
 from ...ops.filters import avg_pool2d
-from ...ops.sampling import grid_sample_pixel
 
 
 class CorrPyramid(NamedTuple):
@@ -46,7 +46,7 @@ def build_corr_pyramid(
         f1,
         f2,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=conv_precision(),
     ) / math.sqrt(d)
     corr = corr.reshape(b * h * w, h, w, 1)
     levels = [corr]
@@ -62,24 +62,57 @@ def lookup_corr(pyramid: CorrPyramid, coords: jax.Array, radius: int = 4) -> jax
     coords: (B, H1, W1, 2) pixel coordinates (x, y) at 1/8 resolution.
     Returns (B, H1, W1, num_levels*(2r+1)^2) cost features, level-major,
     window flattened (i, j)-major per the reference layout.
+
+    TPU formulation: the window offsets are INTEGERS, so every one of the
+    (2r+1)^2 bilinear samples of a query shares the query's single
+    fractional offset (fx, fy). The whole window is therefore one
+    (2r+2)x(2r+2) contiguous patch per query (a vmapped dynamic_slice --
+    lowered to a block gather, not (2r+1)^2*4 scalar gathers) combined with
+    four shifted weighted adds on the VPU. Zero padding of width
+    pad = 2r+2 around each level reproduces grid_sample's zeros
+    padding_mode exactly, including arbitrarily far out-of-range coords
+    (the clamped slice then lands fully inside the zero band).
     """
     b, h1, w1, _ = coords.shape
     q = b * h1 * w1
     r = radius
     n = 2 * r + 1
-    offsets = jnp.linspace(-r, r, n, dtype=coords.dtype)
+    pad = n + 1  # zero band wide enough that clamped far-OOB slices read 0
 
     cx = coords[..., 0].reshape(q)
     cy = coords[..., 1].reshape(q)
 
     out = []
     for i, corr_l in enumerate(pyramid.levels):
+        h2, w2 = corr_l.shape[1], corr_l.shape[2]
+        field = jnp.pad(
+            corr_l[..., 0], ((0, 0), (pad, pad), (pad, pad))
+        )  # (q, h2+2p, w2+2p)
         scale = 1.0 / (2**i)
-        # window position (i, j) samples (x + L[i], y + L[j])  [ref quirk]
-        x = cx[:, None, None] * scale + offsets[None, :, None]
-        y = cy[:, None, None] * scale + offsets[None, None, :]
-        x = jnp.broadcast_to(x, (q, n, n))
-        y = jnp.broadcast_to(y, (q, n, n))
-        sampled = grid_sample_pixel(corr_l, x, y)  # (q, n, n, 1)
-        out.append(sampled.reshape(b, h1, w1, n * n))
+        x = cx * scale
+        y = cy * scale
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None, None]
+        fy = (y - y0)[:, None, None]
+        # valid start range [0, dim + 2*pad - (n+1)]; queries with any
+        # in-range corner are never clamped (pad > r + 2), far-OOB clamps
+        # land fully inside the zero band
+        sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, w2 + 2 * pad - (n + 1))
+        sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, h2 + 2 * pad - (n + 1))
+
+        patch = jax.vmap(
+            lambda f, ys, xs: jax.lax.dynamic_slice(f, (ys, xs), (n + 1, n + 1))
+        )(field, sy, sx)  # (q, n+1, n+1) = rows y, cols x
+
+        s = (
+            (1 - fy) * (1 - fx) * patch[:, :n, :n]
+            + (1 - fy) * fx * patch[:, :n, 1:]
+            + fy * (1 - fx) * patch[:, 1:, :n]
+            + fy * fx * patch[:, 1:, 1:]
+        )  # s[q, y_off, x_off]
+        # reference layout: window position (i, j) samples (x+L[i], y+L[j])
+        # -> channel (i, j) = s[j_y, i_x] = transpose of the (y, x) slab
+        win = s.transpose(0, 2, 1)  # (q, x_off, y_off) = (q, i, j)
+        out.append(win.reshape(b, h1, w1, n * n))
     return jnp.concatenate(out, axis=-1)

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.precision import conv_precision
+
 
 def conv2d(
     x: jax.Array,
@@ -53,7 +55,7 @@ def conv2d(
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_dtype,
-        precision=lax.Precision.HIGHEST,
+        precision=conv_precision(),
     )
     if b is not None:
         out = out + b

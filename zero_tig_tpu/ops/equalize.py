@@ -23,14 +23,21 @@ import jax.numpy as jnp
 
 
 def _equalize_channel(chan_u8: jax.Array) -> jax.Array:
-    """Equalize one flattened uint8 channel (N,) -> (N,) uint8."""
+    """Equalize one flattened uint8 channel (N,) -> (N,) uint8.
+
+    Scatter/gather-free TPU formulation: the 256-bin histogram is a
+    compare-and-reduce over a (N, 256) one-hot (fused by XLA, VPU-friendly)
+    and the LUT application is a one-hot @ lut MXU matmul -- both avoid the
+    serial scalar scatter/gather units.
+    """
     x = chan_u8.astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.int32).at[x].add(1)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    onehot = (x[:, None] == bins[None, :]).astype(jnp.float32)  # (N, 256)
+    hist = jnp.sum(onehot, axis=0).astype(jnp.int32)
 
     nonzero = hist > 0
     # index of the last nonzero bin (there is always at least one)
-    idx = jnp.arange(256, dtype=jnp.int32)
-    last_nz = jnp.max(jnp.where(nonzero, idx, -1))
+    last_nz = jnp.max(jnp.where(nonzero, bins, -1))
     total = x.shape[0]
     step = (total - hist[last_nz]) // 255
 
@@ -40,7 +47,11 @@ def _equalize_channel(chan_u8: jax.Array) -> jax.Array:
     lut = jnp.concatenate([jnp.zeros((1,), lut.dtype), lut[:-1]])
     lut = jnp.clip(lut, 0, 255)
 
-    out = lut[x]
+    out = jnp.dot(
+        onehot, lut.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
     out = jnp.where(step == 0, x, out)
     return out.astype(jnp.uint8)
 

@@ -57,20 +57,34 @@ def gauss_kernel(kernlen: int = 21, nsig: float = 3.0) -> jax.Array:
     cdf = 0.5 * (1.0 + np_erf(x / math.sqrt(2.0)))
     kern1d = np.diff(cdf)
     kernel_raw = np.sqrt(np.outer(kern1d, kern1d))
-    return jnp.asarray((kernel_raw / kernel_raw.sum()).astype(np.float32))
+    return (kernel_raw / kernel_raw.sum()).astype(np.float32)
 
 
-_BLUR_KERNEL_21 = gauss_kernel(21, 1.0)
+_BLUR_KERNEL_21 = gauss_kernel(21, 1.0)  # numpy: no device ops at import
+
+
+_s1d = None
 
 
 def blur(x: jax.Array) -> jax.Array:
     """21x21 Gaussian depthwise blur, reflect padding.
 
     Parity: utils/utils.py:52-58 (kernel_size=21, nsig=1, reflect pad 10).
+    Evaluated as two separable 21-tap depthwise passes (the erf kernel is
+    sqrt(outer(k1d, k1d))/S == outer(sqrt(k1d), sqrt(k1d))/S exactly).
     """
-    k = _BLUR_KERNEL_21.astype(x.dtype)
+    global _s1d
+    if _s1d is None:
+        k2d = np.asarray(_BLUR_KERNEL_21, np.float64)
+        # recover s = sqrt(k1d)/sqrt(S) from row 10: row = sqrt(k1d[10])*s
+        row = k2d[10]
+        s = row / np.sqrt(row[10])
+        assert np.allclose(np.outer(s, s), k2d, atol=1e-12)
+        _s1d = s.astype(np.float32)
     xp = jnp.pad(x, ((0, 0), (10, 10), (10, 10), (0, 0)), mode="reflect")
-    return depthwise_conv2d(xp, k, padding=0)
+    s = jnp.asarray(_s1d, x.dtype)
+    out = depthwise_conv2d(xp, s[:, None], padding=0)
+    return depthwise_conv2d(out, s[None, :], padding=0)
 
 
 def _box_sum(x: jax.Array, k: int) -> jax.Array:
