@@ -57,6 +57,27 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
     save_msgpack(os.path.join(run_dir, "initial_weights.msgpack"),
                  {"params": state.params, "batch_stats": state.batch_stats})
 
+    from ..core.precision import set_precision
+    from ..core.train_ckpt import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    set_precision(config.precision)
+    start_epoch = 0
+    if config.resume:
+        ckpt = (
+            latest_checkpoint(model_dir)
+            if config.resume == "auto"
+            else config.resume
+        )
+        if ckpt and os.path.exists(ckpt):
+            state, meta = restore_train_state(ckpt, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info("Resumed full train state from %s (epoch %d)",
+                     ckpt, start_epoch)
+
     step_kwargs = dict(
         of_scale=config.of_scale,
         raft_iters=config.raft_iters,
@@ -66,7 +87,8 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         weight_decay=config.weight_decay,
     )
 
-    for epoch in range(config.epochs):
+    total_step = 0
+    for epoch in range(start_epoch, config.epochs):
         # reference BN-mode schedule quirk: only epoch 0 trains with batch
         # statistics (train.py:115-138; see models.network.forward_train)
         bn_train = (epoch == 0) if bn_schedule_faithful else True
@@ -79,12 +101,17 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
                 jnp.asarray(rec.is_new_seq), bn_train=bn_train, **step_kwargs,
             )
             losses.append(float(loss))
+            total_step += 1
             log.info("train-epoch %03d %03d %f", epoch, idx, losses[-1])
         log.info("train-epoch %03d %f", epoch, float(np.mean(losses)))
 
         net_out = {"params": state.params, "batch_stats": state.batch_stats}
         save_msgpack(
             os.path.join(model_dir, f"weights_{epoch}.msgpack"), net_out
+        )
+        save_train_state(
+            os.path.join(model_dir, f"state_{epoch}.msgpack"),
+            state, epoch=epoch, step=total_step,
         )
         try:
             save_torch_pt(

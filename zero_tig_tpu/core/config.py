@@ -49,6 +49,8 @@ class Config:
 
     # --- TPU-native knobs (no reference equivalent) ---
     raft_weights: str | None = None  # explicit RAFT checkpoint (SURVEY 2.2)
+    resume: str | None = None  # full-train-state checkpoint, or "auto"
+    precision: str = "highest"  # "highest" (f32-faithful) | "fast" (bf16 MXU)
     compute_dtype: str = "float32"  # or "bfloat16" fast path
     mesh_data: int = 1  # scene-parallel axis size
     mesh_spatial: int = 1  # spatial-sharding axis size

@@ -1,3 +1,4 @@
+from .augmentor import FlowAugmentor, SparseFlowAugmentor
 from .datasets import (
     DIDDataset,
     FrameDataset,
@@ -15,6 +16,8 @@ from .synthetic import make_rlv_fixture
 
 __all__ = [
     "DIDDataset",
+    "FlowAugmentor",
+    "SparseFlowAugmentor",
     "DeviceRecord",
     "FrameDataset",
     "FrameRecord",

@@ -1,0 +1,21 @@
+from .benchmark import benchmark_all, benchmark_model
+from .metrics import flow_metrics
+from .registry import (
+    FlowModel,
+    available_models,
+    get_flow_model,
+    register_flow_model,
+)
+from .validate import infer_pair, validate_folder
+
+__all__ = [
+    "FlowModel",
+    "available_models",
+    "benchmark_all",
+    "benchmark_model",
+    "flow_metrics",
+    "get_flow_model",
+    "infer_pair",
+    "register_flow_model",
+    "validate_folder",
+]

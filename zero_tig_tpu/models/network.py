@@ -21,6 +21,7 @@ the enhancer input (model/model.py:168), the H*_pred anchor terms
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -145,9 +146,14 @@ def update_cache(
     l2_tmp = equalize01(l2_tmp)  # equalized   (model/model.py:234)
 
     _, flow_up = raft_forward(raft_vars, last_tmp, l2_tmp, iters=raft_iters)
-    warped_H3, _ = warp_tensor(flow_up, last_H3, L2)
-    warped_s3, _ = warp_tensor(flow_up, last_s3, L2)
-    return jax.lax.stop_gradient(warped_H3), jax.lax.stop_gradient(warped_s3)
+    # both tensors share the flow grid: one fused 6-channel warp halves the
+    # gather traffic vs the reference's two warp_tensor calls
+    # (model/model.py:249-250); results identical per channel
+    warped, _ = warp_tensor(
+        flow_up, jnp.concatenate([last_H3, last_s3], axis=-1)
+    )
+    warped = jax.lax.stop_gradient(warped)
+    return warped[..., :3], warped[..., 3:]
 
 
 def forward_train(
@@ -179,11 +185,18 @@ def forward_train(
     inp = frame + EPS
     L11, L12 = pair_downsampler(inp)
 
-    def d1(x):
-        return DENOISE_1.apply({"params": params["denoise_1"]}, x)
-
-    def d2(x):
-        return DENOISE_2.apply({"params": params["denoise_2"]}, x)
+    # remat the conv stacks: at 1080p each 48/64-channel activation is
+    # ~0.4 GB and the un-checkpointed backward needs ~19 GB > 16 GB HBM;
+    # recomputing the cheap convs in the backward trades ~15% flops for
+    # fitting the whole fused train step on one chip
+    d1 = jax.checkpoint(
+        lambda p, x: DENOISE_1.apply({"params": p}, x)
+    )
+    d2 = jax.checkpoint(
+        lambda p, x: DENOISE_2.apply({"params": p}, x)
+    )
+    d1 = functools.partial(d1, params["denoise_1"])
+    d2 = functools.partial(d2, params["denoise_2"])
 
     L_pred1 = L11 - d1(L11)
     L_pred2 = L12 - d1(L12)
@@ -207,12 +220,16 @@ def forward_train(
     enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
     enh_vars = {"params": params["enhance"], "batch_stats": batch_stats["enhance"]}
     if bn_train:
-        s2, mut = ENHANCER.apply(
-            enh_vars, enh_in, use_running_average=False, mutable=["batch_stats"]
-        )
+        s2, mut = jax.checkpoint(
+            lambda v, x: ENHANCER.apply(
+                v, x, use_running_average=False, mutable=["batch_stats"]
+            )
+        )(enh_vars, enh_in)
         new_batch_stats = {"enhance": mut["batch_stats"]}
     else:
-        s2 = ENHANCER.apply(enh_vars, enh_in, use_running_average=True)
+        s2 = jax.checkpoint(
+            lambda v, x: ENHANCER.apply(v, x, use_running_average=True)
+        )(enh_vars, enh_in)
         new_batch_stats = batch_stats
 
     s21, s22 = pair_downsampler(s2)

@@ -63,56 +63,55 @@ def lookup_corr(pyramid: CorrPyramid, coords: jax.Array, radius: int = 4) -> jax
     Returns (B, H1, W1, num_levels*(2r+1)^2) cost features, level-major,
     window flattened (i, j)-major per the reference layout.
 
-    TPU formulation: the window offsets are INTEGERS, so every one of the
-    (2r+1)^2 bilinear samples of a query shares the query's single
-    fractional offset (fx, fy). The whole window is therefore one
-    (2r+2)x(2r+2) contiguous patch per query (a vmapped dynamic_slice --
-    lowered to a block gather, not (2r+1)^2*4 scalar gathers) combined with
-    four shifted weighted adds on the VPU. Zero padding of width
-    pad = 2r+2 around each level reproduces grid_sample's zeros
-    padding_mode exactly, including arbitrarily far out-of-range coords
-    (the clamped slice then lands fully inside the zero band).
+    TPU formulation -- NO gathers: bilinear interpolation is separable, so
+    the whole (2r+1)^2 window sample of a query factorizes into two small
+    batched matmuls against "hat function" weight matrices,
+
+        wx[q, a, x] = max(0, 1 - |x - (x_q*scale + L[a])|)      (q, n, W2)
+        T[q, y, a]  = sum_x corr[q, y, x] * wx[q, a, x]         (MXU)
+        S[q, b, a]  = sum_y wy[q, b, y]   * T[q, y, a]          (MXU)
+
+    The hat function is nonzero at exactly the two adjacent integer
+    positions with the bilinear weights, and positions outside [0, size-1]
+    simply don't exist in the contraction -- which IS grid_sample's zeros
+    padding_mode. ~260 MFLOP/level at the 1080p operating point: trivial
+    for the MXU, compiles in seconds (vs minutes for gather formulations),
+    and runs entirely on the matrix unit instead of the scalar gather unit.
     """
     b, h1, w1, _ = coords.shape
     q = b * h1 * w1
     r = radius
     n = 2 * r + 1
-    pad = n + 1  # zero band wide enough that clamped far-OOB slices read 0
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
 
-    cx = coords[..., 0].reshape(q)
-    cy = coords[..., 1].reshape(q)
+    cx = coords[..., 0].reshape(q).astype(jnp.float32)
+    cy = coords[..., 1].reshape(q).astype(jnp.float32)
 
     out = []
     for i, corr_l in enumerate(pyramid.levels):
         h2, w2 = corr_l.shape[1], corr_l.shape[2]
-        field = jnp.pad(
-            corr_l[..., 0], ((0, 0), (pad, pad), (pad, pad))
-        )  # (q, h2+2p, w2+2p)
+        field = corr_l[..., 0]  # (q, h2, w2)
         scale = 1.0 / (2**i)
-        x = cx * scale
-        y = cy * scale
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = (x - x0)[:, None, None]
-        fy = (y - y0)[:, None, None]
-        # valid start range [0, dim + 2*pad - (n+1)]; queries with any
-        # in-range corner are never clamped (pad > r + 2), far-OOB clamps
-        # land fully inside the zero band
-        sx = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, w2 + 2 * pad - (n + 1))
-        sy = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, h2 + 2 * pad - (n + 1))
+        # sample positions (q, n)
+        sx = cx[:, None] * scale + offs[None, :]
+        sy = cy[:, None] * scale + offs[None, :]
+        xs = jnp.arange(w2, dtype=jnp.float32)
+        ys = jnp.arange(h2, dtype=jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[None, None, :] - sx[:, :, None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - sy[:, :, None]))
 
-        patch = jax.vmap(
-            lambda f, ys, xs: jax.lax.dynamic_slice(f, (ys, xs), (n + 1, n + 1))
-        )(field, sy, sx)  # (q, n+1, n+1) = rows y, cols x
-
-        s = (
-            (1 - fy) * (1 - fx) * patch[:, :n, :n]
-            + (1 - fy) * fx * patch[:, :n, 1:]
-            + fy * (1 - fx) * patch[:, 1:, :n]
-            + fy * fx * patch[:, 1:, 1:]
-        )  # s[q, y_off, x_off]
+        t = jnp.einsum(
+            "qyx,qax->qya", field, wx,
+            preferred_element_type=jnp.float32,
+            precision=conv_precision(),
+        )
+        s = jnp.einsum(
+            "qby,qya->qba", wy, t,
+            preferred_element_type=jnp.float32,
+            precision=conv_precision(),
+        )
         # reference layout: window position (i, j) samples (x+L[i], y+L[j])
-        # -> channel (i, j) = s[j_y, i_x] = transpose of the (y, x) slab
-        win = s.transpose(0, 2, 1)  # (q, x_off, y_off) = (q, i, j)
+        # -> channel (i, j) = S[b=j, a=i] = transpose of the (y, x) slab
+        win = s.transpose(0, 2, 1)  # (q, a_x, b_y) = (q, i, j)
         out.append(win.reshape(b, h1, w1, n * n))
     return jnp.concatenate(out, axis=-1)

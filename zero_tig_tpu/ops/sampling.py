@@ -38,9 +38,10 @@ def grid_sample_pixel(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     x, y: (B, ...) pixel coordinates. Returns (B, ..., C).
     """
     b, h, w, c = img.shape
-    dtype = img.dtype
-    x = x.astype(dtype)
-    y = y.astype(dtype)
+    # coordinate/weight math stays f32 even for low-precision images
+    # (bf16 cannot represent pixel indices above 256 exactly)
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -67,10 +68,10 @@ def grid_sample_pixel(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
     flat = img.reshape(b, h * w, c)
     out = (
-        _gather_2d(flat, x0i, y0i, w) * w00[..., None]
-        + _gather_2d(flat, x1i, y0i, w) * w01[..., None]
-        + _gather_2d(flat, x0i, y1i, w) * w10[..., None]
-        + _gather_2d(flat, x1i, y1i, w) * w11[..., None]
+        _gather_2d(flat, x0i, y0i, w).astype(jnp.float32) * w00[..., None]
+        + _gather_2d(flat, x1i, y0i, w).astype(jnp.float32) * w01[..., None]
+        + _gather_2d(flat, x0i, y1i, w).astype(jnp.float32) * w10[..., None]
+        + _gather_2d(flat, x1i, y1i, w).astype(jnp.float32) * w11[..., None]
     )
     return out
 

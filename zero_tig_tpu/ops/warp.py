@@ -12,19 +12,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.precision import get_mode
 from .resize import resize_bilinear
 from .sampling import grid_sample
 
 
 def warp_tensor(
-    flow: jax.Array, img1: jax.Array, img2: jax.Array
-) -> tuple[jax.Array, jax.Array]:
+    flow: jax.Array, img1: jax.Array, img2: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array | None]:
     """Backward-warp `img1` to the current frame using flow at flow-res.
 
     flow: (B, Hf, Wf, 2) optical flow last->current at (possibly padded)
       flow resolution, (x, y) channel order.
     img1: (B, H, W, C) previous output to warp (full resolution).
-    img2: (B, H, W, C) current frame (only used for the 0.5/0.5 overlap).
+    img2: (B, H, W, C) current frame, only used for the 0.5/0.5 overlap;
+      pass None to skip the overlap (returned as None).
 
     Returns (warped, overlap).
     """
@@ -51,6 +53,13 @@ def warp_tensor(
         ],
         axis=-1,
     )
-    warped = grid_sample(img1, grid, align_corners=False)
-    overlap = 0.5 * warped + 0.5 * img2
+    if get_mode() == "fast":
+        # halve the (gather-unit-bound) sample traffic: bf16 pixel values,
+        # f32 coords/weights/accumulation. Parity mode keeps full f32.
+        warped = grid_sample(
+            img1.astype(jnp.bfloat16), grid, align_corners=False
+        ).astype(img1.dtype)
+    else:
+        warped = grid_sample(img1, grid, align_corners=False)
+    overlap = None if img2 is None else 0.5 * warped + 0.5 * img2
     return warped, overlap
