@@ -35,14 +35,20 @@ OF_SCALE = int(os.environ.get("BENCH_OF_SCALE", "3"))
 RAFT_ITERS = int(os.environ.get("BENCH_RAFT_ITERS", "12"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+# headline runs the TPU-native bf16 operating point; "highest" is the
+# f32-faithful parity mode (see core/precision.py and BASELINE.md)
+PRECISION = os.environ.get("BENCH_PRECISION", "fast")
 
 
 def main() -> None:
+    from zero_tig_tpu.core import precision
     from zero_tig_tpu.models import (
         init_network_variables,
         init_raft_variables,
     )
     from zero_tig_tpu.pipeline import predict_step
+
+    precision.set_precision(PRECISION)
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -88,7 +94,8 @@ def main() -> None:
     fps = 1.0 / sec
     print(
         f"# median {sec * 1e3:.1f} ms/frame over {STEPS} steps "
-        f"({HEIGHT}x{WIDTH}, of_scale={OF_SCALE}, iters={RAFT_ITERS})",
+        f"({HEIGHT}x{WIDTH}, of_scale={OF_SCALE}, iters={RAFT_ITERS}, "
+        f"precision={PRECISION})",
         file=sys.stderr,
     )
     print(

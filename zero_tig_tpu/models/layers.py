@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.precision import conv_precision
+from ..core.precision import conv_precision, get_mode
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -60,20 +60,27 @@ class Conv(nn.Module):
         w = self.param(
             "kernel", torch_conv_kernel_init, (kh, kw, cin, self.features)
         )
+        # fast mode: bf16 activations/weights through the conv stacks (the
+        # workload is HBM-bandwidth-bound at 1080p; bf16 halves the tensor
+        # traffic on top of the single-pass MXU multiply), f32 accumulation.
+        # highest mode: f32 tensors, multi-pass f32-faithful multiplies.
+        cdt = jnp.bfloat16 if get_mode() == "fast" else x.dtype
+        # bf16 in/out: the MXU accumulates f32 internally either way; an f32
+        # preferred_element_type with bf16 operands breaks the conv
+        # transpose rule (mixed-dtype args in the backward)
         out = jax.lax.conv_general_dilated(
-            x,
-            w.astype(x.dtype),
+            x.astype(cdt),
+            w.astype(cdt),
             window_strides=self.strides,
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
             precision=conv_precision(),
-        ).astype(x.dtype)
+        )
         if self.use_bias:
             b = self.param(
                 "bias", torch_conv_bias_init(kh * kw * cin), (self.features,)
             )
-            out = out + b.astype(x.dtype)
+            out = out + b.astype(cdt)
         return out
 
 

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ...core.precision import conv_precision
+from ...core.precision import conv_precision, get_mode
 from ...ops.filters import avg_pool2d
 
 
@@ -49,6 +49,10 @@ def build_corr_pyramid(
         precision=conv_precision(),
     ) / math.sqrt(d)
     corr = corr.reshape(b * h * w, h, w, 1)
+    if get_mode() == "fast":
+        # bf16 volume halves the lookup read traffic (the level-0 volume is
+        # re-read by every refinement iteration); accumulation stays f32
+        corr = corr.astype(jnp.bfloat16)
     levels = [corr]
     for _ in range(num_levels - 1):
         corr = avg_pool2d(corr, 2, 2)
@@ -99,6 +103,8 @@ def lookup_corr(pyramid: CorrPyramid, coords: jax.Array, radius: int = 4) -> jax
         ys = jnp.arange(h2, dtype=jnp.float32)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[None, None, :] - sx[:, :, None]))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - sy[:, :, None]))
+        wx = wx.astype(field.dtype)
+        wy = wy.astype(field.dtype)
 
         t = jnp.einsum(
             "qyx,qax->qya", field, wx,

@@ -112,7 +112,7 @@ def raft_forward(
         net, mask, delta = _UPDATE.apply(update_vars, net, inp, corr, flow)
         return (net, coords1 + delta, mask), None
 
-    mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
+    mask0 = jnp.zeros((b, h8, w8, 64 * 9), net0.dtype)
     (net, coords1, mask), _ = lax.scan(
         body, (net0, coords0, mask0), None, length=iters
     )

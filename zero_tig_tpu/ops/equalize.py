@@ -32,8 +32,11 @@ def _equalize_channel(chan_u8: jax.Array) -> jax.Array:
     """
     x = chan_u8.astype(jnp.int32)
     bins = jnp.arange(256, dtype=jnp.int32)
-    onehot = (x[:, None] == bins[None, :]).astype(jnp.float32)  # (N, 256)
-    hist = jnp.sum(onehot, axis=0).astype(jnp.int32)
+    # bf16 one-hot is EXACT here (values 0/1 and LUT integers <= 255 are
+    # exactly representable; accumulation is f32) and halves the dominant
+    # (N, 256) HBM traffic
+    onehot = (x[:, None] == bins[None, :]).astype(jnp.bfloat16)  # (N, 256)
+    hist = jnp.sum(onehot, axis=0, dtype=jnp.float32).astype(jnp.int32)
 
     nonzero = hist > 0
     # index of the last nonzero bin (there is always at least one)
@@ -48,9 +51,8 @@ def _equalize_channel(chan_u8: jax.Array) -> jax.Array:
     lut = jnp.clip(lut, 0, 255)
 
     out = jnp.dot(
-        onehot, lut.astype(jnp.float32),
+        onehot, lut.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     out = jnp.where(step == 0, x, out)
     return out.astype(jnp.uint8)
