@@ -78,6 +78,7 @@ class FrameDataset:
         *,
         size: tuple[int, int] = (1920, 1080),  # (W, H), PIL convention
         interpolation: int = cv2.INTER_CUBIC,
+        native: bool | None = None,
     ):
         if not paths:
             raise ValueError("dataset is empty")
@@ -85,11 +86,27 @@ class FrameDataset:
         self.size = size
         self.interpolation = interpolation
         self._last_path = paths[0]  # persists across epochs (reference quirk)
+        if native is None:
+            native = os.environ.get("ZERO_TIG_NATIVE_IO", "0") == "1"
+        self.native = native
+        if self.native:
+            from .. import native as native_mod
+
+            if not native_mod.available():
+                self.native = False
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def load_image(self, path: str) -> np.ndarray:
+        if self.native:
+            # C++ libpng/libjpeg decode + bicubic resize (float path:
+            # matches cv2.INTER_CUBIC on float inputs to ~3e-7; cv2's
+            # uint8 fixed-point path saturates intermediates and can
+            # differ by a few levels at sharp edges)
+            from .. import native as native_mod
+
+            return native_mod.load_frame(path, self.size[0], self.size[1])
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
