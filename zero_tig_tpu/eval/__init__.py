@@ -1,4 +1,5 @@
 from .lpips import LPIPSScorer, convert_torch_lpips, lpips_distance
+from .vmaf import score_sequences, vmaf_available
 from .metrics import (
     frame_metrics,
     match_histograms,
@@ -16,4 +17,6 @@ __all__ = [
     "psnr_uint8",
     "ssim_uint8",
     "to_uint8",
+    "score_sequences",
+    "vmaf_available",
 ]

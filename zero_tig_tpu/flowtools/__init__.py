@@ -6,6 +6,7 @@ from .registry import (
     get_flow_model,
     register_flow_model,
 )
+from .submit import write_kitti_submission, write_sintel_submission
 from .validate import infer_pair, validate_folder
 
 __all__ = [
@@ -18,4 +19,6 @@ __all__ = [
     "infer_pair",
     "register_flow_model",
     "validate_folder",
+    "write_kitti_submission",
+    "write_sintel_submission",
 ]

@@ -1,5 +1,7 @@
 from .steps import (
     TrainState,
+    predict_chunk,
+    train_chunk,
     eval_forward_step,
     init_train_state,
     make_optimizer,
@@ -9,6 +11,8 @@ from .steps import (
 
 __all__ = [
     "TrainState",
+    "predict_chunk",
+    "train_chunk",
     "eval_forward_step",
     "init_train_state",
     "make_optimizer",

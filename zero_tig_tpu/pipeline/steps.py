@@ -128,6 +128,90 @@ def predict_step(
 
 
 @functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+def predict_chunk(
+    variables: dict,
+    raft_vars: Any,
+    frames: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+):
+    """K frames of streaming inference as ONE lax.scan program.
+
+    frames: (K, B, H, W, 3) pre-staged on device; is_new_seq: (K,) or (K, B).
+    Returns ((H2s, H3s, s3s) each (K, B, H, W, 3), final_carry). Amortizes
+    per-step dispatch/launch latency over the chunk -- the sequence-scaling
+    analogue of the reference's frame loop (SURVEY.md section 5).
+    """
+
+    def body(c, inp):
+        frame, flag = inp
+        outs, new_c = forward_inference(
+            variables, raft_vars, frame, c, flag,
+            of_scale=of_scale, raft_iters=raft_iters,
+        )
+        return new_c, outs
+
+    carry, outs = jax.lax.scan(body, carry, (frames, is_new_seq))
+    return outs, carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "lr",
+                              "grad_clip", "weight_decay", "bn_train"),
+)
+def train_chunk(
+    state: TrainState,
+    raft_vars: Any,
+    frames: jax.Array,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    is_wb: bool = False,
+    lr: float = 1e-4,
+    grad_clip: float = 5.0,
+    weight_decay: float = 3e-4,
+    bn_train: bool = True,
+) -> tuple[TrainState, jax.Array]:
+    """K sequential zero-shot training frames as ONE lax.scan program.
+
+    frames: (K, B, H, W, 3); is_new_seq: (K,) or (K, B). Returns
+    (final_state, (K,) losses). Exactly equivalent to K train_step calls
+    (the optimizer state and recurrent carry thread through the scan).
+    """
+    cfg = Config(
+        lr=lr, grad_clip=grad_clip, weight_decay=weight_decay,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+    opt = make_optimizer(cfg)
+
+    def body(st, inp):
+        frame, flag = inp
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": st.batch_stats}
+            outputs, new_bs, new_carry = forward_train(
+                variables, raft_vars, frame, st.carry, flag,
+                of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+            )
+            loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
+            return loss, (new_bs, new_carry)
+
+        (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(st.params)
+        updates, new_opt = opt.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        return TrainState(new_params, new_bs, new_opt, new_carry), loss
+
+    state, losses = jax.lax.scan(body, state, (frames, is_new_seq))
+    return state, losses
+
+
+@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
 def eval_forward_step(
     variables: dict,
     raft_vars: Any,
