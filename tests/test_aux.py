@@ -186,3 +186,56 @@ def test_flow_benchmark_smoke():
                         num_warmup=1, iters=2)
     assert r["params"] > 5_000_000  # RAFT ~5.3M
     assert r["time_ms_median"] > 0
+
+
+def test_raft_return_predictions(rng):
+    from zero_tig_tpu.models import init_raft_variables, raft_forward
+
+    v = init_raft_variables(jax.random.PRNGKey(0))
+    img = jnp.asarray((rng.random((1, 48, 64, 3)) * 255).astype(np.float32))
+    flow_low, flow_ups = raft_forward(
+        v, img, img, iters=3, return_predictions=True
+    )
+    assert flow_ups.shape == (3, 1, 48, 64, 2)
+    # final prediction equals the inference path's single output
+    _, flow_up = raft_forward(v, img, img, iters=3)
+    np.testing.assert_allclose(
+        np.asarray(flow_ups[-1]), np.asarray(flow_up), atol=1e-5
+    )
+
+
+def test_flow_sequence_loss_and_train_step(rng):
+    from zero_tig_tpu.flowtools import (
+        flow_train_step,
+        init_flow_train_state,
+        sequence_loss,
+    )
+    from zero_tig_tpu.models import init_raft_variables
+
+    gt = jnp.asarray(rng.standard_normal((1, 16, 16, 2)).astype(np.float32))
+    preds = jnp.stack([gt, gt])  # perfect predictions -> zero loss
+    assert float(sequence_loss(preds, gt)) == pytest.approx(0.0, abs=1e-6)
+    # weighting: early-iteration error discounted by gamma
+    bad_first = jnp.stack([gt + 1.0, gt])
+    bad_last = jnp.stack([gt, gt + 1.0])
+    assert float(sequence_loss(bad_first, gt)) < float(
+        sequence_loss(bad_last, gt)
+    )
+
+    variables = init_raft_variables(jax.random.PRNGKey(0))
+    state = init_flow_train_state(variables, total_steps=100)
+    img = jnp.asarray((rng.random((1, 32, 32, 3)) * 255).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((1, 32, 32, 2)).astype(np.float32))
+    new_state, loss = flow_train_step(
+        state, img, img, gt, iters=2, total_steps=100
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # params actually moved (gradients flowed through the scan + lookup)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(new_state.params),
+        )
+    )
+    assert moved

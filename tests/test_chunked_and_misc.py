@@ -147,3 +147,15 @@ def test_sintel_submission(tmp_path, rng):
     assert n == 2
     flo = read_flo(str(tmp_path / "out" / "alley_1" / "frame_0000.flo"))
     assert flo.shape == (48, 64, 2)
+
+
+def test_forward_interpolate():
+    from zero_tig_tpu.utils import forward_interpolate
+
+    # constant shift (+2, 0): forward splat keeps the constant field
+    flow = np.zeros((2, 10, 12), np.float32)
+    flow[0] = 2.0
+    out = forward_interpolate(flow)
+    assert out.shape == (2, 10, 12)
+    np.testing.assert_allclose(out[0, 2:-2, 4:-4], 2.0, atol=1e-6)
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-6)

@@ -78,11 +78,16 @@ def raft_forward(
     image2: jax.Array,
     *,
     iters: int = 12,
+    return_predictions: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """(flow_low, flow_up) between two (B, H, W, 3) frames in [0, 255].
 
     Output flow is at the /8-padded input resolution -- the reference never
     unpads (model/model.py:245-250); warp_tensor absorbs the padded shape.
+
+    return_predictions=True returns ALL per-iteration upsampled flows
+    (iters, B, 8h, 8w, 2) -- the sequence needed by the RAFT training loss
+    (the inference path upsamples only the final iteration).
     """
     image1 = pad8_replicate(image1)
     image2 = pad8_replicate(image2)
@@ -107,17 +112,26 @@ def raft_forward(
 
     def body(carry, _):
         net, coords1, _mask = carry
+        # per-iteration detach, parity with raft.py:112 (matters only when
+        # differentiating through RAFT, i.e. flow-model training)
+        coords1 = jax.lax.stop_gradient(coords1)
         corr = lookup_corr(pyramid, coords1, CORR_RADIUS)
         flow = coords1 - coords0
         net, mask, delta = _UPDATE.apply(update_vars, net, inp, corr, flow)
-        return (net, coords1 + delta, mask), None
+        new_coords1 = coords1 + delta
+        ys = (new_coords1 - coords0, mask) if return_predictions else None
+        return (net, new_coords1, mask), ys
 
     mask0 = jnp.zeros((b, h8, w8, 64 * 9), net0.dtype)
-    (net, coords1, mask), _ = lax.scan(
+    (net, coords1, mask), ys = lax.scan(
         body, (net0, coords0, mask0), None, length=iters
     )
 
     flow_low = coords1 - coords0
+    if return_predictions:
+        flows, masks = ys  # (iters, B, h8, w8, ...)
+        flow_ups = jax.vmap(convex_upsample_flow)(flows, masks)
+        return flow_low, flow_ups
     flow_up = convex_upsample_flow(flow_low, mask)
     return flow_low, flow_up
 

@@ -12,7 +12,7 @@ from .filters import (
     pair_downsampler,
     texture_difference,
 )
-from .padding import pad8_amounts, pad8_replicate, unpad8
+from .padding import InputPadder, pad8_amounts, pad8_replicate, unpad8
 from .resize import resize_bilinear, upflow8
 from .sampling import coords_grid, grid_sample, grid_sample_pixel
 from .warp import warp_tensor
@@ -31,6 +31,7 @@ __all__ = [
     "grid_sample_pixel",
     "local_mean",
     "local_stddev",
+    "InputPadder",
     "pad8_amounts",
     "pad8_replicate",
     "pair_downsampler",

@@ -31,3 +31,34 @@ def unpad8(x: jax.Array, orig_ht: int, orig_wd: int) -> jax.Array:
     """Remove the centered /8 padding given the original dims."""
     t, b, l, r = pad8_amounts(orig_ht, orig_wd)
     return x[..., t : x.shape[-3] - b, l : x.shape[-2] - r, :]
+
+
+class InputPadder:
+    """Class-API parity with the reference InputPadder (utils/utils.py:233-251).
+
+    mode 'sintel': centered padding; otherwise bottom/right-heavy. Operates
+    on NHWC arrays.
+    """
+
+    def __init__(self, dims, mode: str = "sintel"):
+        self.ht, self.wd = dims[-3], dims[-2]
+        pad_ht = (((self.ht // 8) + 1) * 8 - self.ht) % 8
+        pad_wd = (((self.wd // 8) + 1) * 8 - self.wd) % 8
+        if mode == "sintel":
+            self._pad = (
+                pad_ht // 2, pad_ht - pad_ht // 2,
+                pad_wd // 2, pad_wd - pad_wd // 2,
+            )
+        else:
+            self._pad = (0, pad_ht, pad_wd // 2, pad_wd - pad_wd // 2)
+
+    def pad(self, *inputs):
+        t, b, l, r = self._pad
+        return [
+            jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+            for x in inputs
+        ]
+
+    def unpad(self, x):
+        t, b, l, r = self._pad
+        return x[..., t : x.shape[-3] - b, l : x.shape[-2] - r, :]

@@ -12,6 +12,7 @@ from .misc import (
     count_parameters_in_mb,
     create_exp_dir,
     drop_path,
+    forward_interpolate,
     save_checkpoint,
     show_pic,
     viz_flow_overlay,
@@ -22,6 +23,7 @@ __all__ = [
     "create_exp_dir",
     "drop_path",
     "flow_to_image",
+    "forward_interpolate",
     "save_checkpoint",
     "show_pic",
     "viz_flow_overlay",

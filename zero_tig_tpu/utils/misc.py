@@ -85,6 +85,36 @@ def show_pic(pics, names, path: str, *, grid=(5, 6)) -> None:
     cv2.imwrite(path, cv2.cvtColor(sheet, cv2.COLOR_RGB2BGR))
 
 
+def forward_interpolate(flow: np.ndarray) -> np.ndarray:
+    """Forward-splat a flow field onto the regular grid (warm-start helper).
+
+    Parity: utils/utils.py:254-282 (scipy nearest-neighbor griddata over the
+    forward-advected valid points). flow: (2, H, W) -> (2, H, W), matching
+    the reference's channel-first convention for this helper.
+    """
+    from scipy import interpolate as sp_interpolate
+
+    dx, dy = np.asarray(flow[0]), np.asarray(flow[1])
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf = dx.reshape(-1)
+    dyf = dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    if not np.any(valid):
+        return np.zeros_like(np.asarray(flow, np.float32))
+    flow_x = sp_interpolate.griddata(
+        (x1[valid], y1[valid]), dxf[valid], (x0, y0),
+        method="nearest", fill_value=0,
+    )
+    flow_y = sp_interpolate.griddata(
+        (x1[valid], y1[valid]), dyf[valid], (x0, y0),
+        method="nearest", fill_value=0,
+    )
+    return np.stack([flow_x, flow_y], axis=0).astype(np.float32)
+
+
 def viz_flow_overlay(img, flow, path: str) -> None:
     """Stacked frame + flow visualization (utils/utils.py:163-176, saved to
     disk instead of cv2.imshow)."""
