@@ -127,3 +127,36 @@ def test_predict_carry_threading(rng):
         of_scale=2, raft_iters=2,
     )
     assert not np.allclose(np.asarray(H3a), np.asarray(H3b))
+
+
+def test_underwater_wb_cli_train_predict(fixture_root, tmp_path):
+    """--dataset underwater: generic recursive loader + adaptive white
+    balance loss (the reference's documented path crashes on its broken
+    DefaultDataset; ours must work end to end)."""
+    from zero_tig_tpu.cli.predict import run_predict
+    from zero_tig_tpu.cli.train import run_training
+
+    input_dir = os.path.join(fixture_root, "input")
+    cfg = Config(
+        lowlight_images_path=input_dir,
+        save=str(tmp_path / "uw_exp"),
+        dataset="underwater",
+        **TINY,
+    )
+    assert cfg.is_wb
+    run_dir = run_training(cfg)
+    weights = glob.glob(os.path.join(run_dir, "model_epochs", "weights_0.pt"))
+    assert weights
+
+    pred_cfg = Config(
+        lowlight_images_path=input_dir,
+        save=str(tmp_path / "uw_pred"),
+        model_pretrain=weights[0],
+        dataset="underwater",
+        **TINY,
+    )
+    run_predict(pred_cfg)
+    outs = glob.glob(
+        str(tmp_path / "uw_pred" / "**" / "*_denoise.png"), recursive=True
+    )
+    assert len(outs) == 6

@@ -48,8 +48,14 @@ def run_predict(config: Config) -> None:
             splits = rec.path.split(os.sep)
             save_dir = os.path.join(config.save, splits[-3], splits[-2])
         else:
+            # reference keys on the immediate parent dir only
+            # (predict.py:99), which collides across scenes sharing a
+            # subfolder name; include the scene dir as well
+            parent = os.path.dirname(rec.path)
             save_dir = os.path.join(
-                config.save, os.path.basename(os.path.dirname(rec.path))
+                config.save,
+                os.path.basename(os.path.dirname(parent)),
+                os.path.basename(parent),
             )
         os.makedirs(save_dir, exist_ok=True)
         write_png(
