@@ -358,3 +358,24 @@ def test_forward_train_jits_once(net_vars, raft_vars, rng):
     o1, _, carry = fwd(net_vars, raft_vars, frame, carry, jnp.asarray(True))
     o2, _, _ = fwd(net_vars, raft_vars, frame, carry, jnp.asarray(False))
     assert fwd._cache_size() == 1
+
+
+@pytest.mark.parametrize("hw", [(50, 70), (47, 63)])
+def test_forward_inference_odd_sizes(net_vars, raft_vars, rng, hw):
+    """Non-/8, odd frame sizes must flow through the whole step: floor
+    pair-downsampling, of_scale division, /8 replicate padding inside RAFT,
+    padded-res flow into the warp."""
+    h, w = hw
+    frame = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32) * 0.2)
+    carry = {
+        "last_H3": jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32)),
+        "last_s3": jnp.asarray(
+            rng.random((1, h, w, 3)).astype(np.float32) * 0.5 + 0.2
+        ),
+    }
+    (H2, H3, s3), new_carry = forward_inference(
+        net_vars, raft_vars, frame, carry, jnp.asarray(False),
+        of_scale=3, raft_iters=2,
+    )
+    assert H3.shape == frame.shape
+    assert np.isfinite(np.asarray(H3)).all()

@@ -72,3 +72,56 @@ def test_scene_parallel_matches_single_device(rng):
     np.testing.assert_allclose(
         float(loss_single), float(loss_sharded), rtol=2e-4
     )
+
+
+def test_scene_streams_and_batched_records(tmp_path):
+    from zero_tig_tpu.data import RLVDataset, make_rlv_fixture
+    from zero_tig_tpu.parallel import batched_records, scene_streams
+
+    root = make_rlv_fixture(
+        str(tmp_path / "rlv"), scenes=("S01", "S02", "S03", "S04"),
+        frames_per_scene=3, size=(32, 24),
+    )
+    ds = RLVDataset(root, "train", size=(32, 24))
+    streams = scene_streams(ds, 2)
+    assert len(streams) == 2
+    assert sum(len(s) for s in streams) == len(ds)
+    # scenes stay contiguous within a stream
+    for s in streams:
+        assert len(s) % 3 == 0
+
+    batches = list(batched_records(ds, 2))
+    assert len(batches) == 6  # 12 frames / 2 streams
+    frames, flags = batches[0]
+    assert frames.shape == (2, 24, 32, 3)
+    assert flags.tolist() == [True, True]  # both streams start fresh
+    # scene boundaries flagged inside each stream
+    all_flags = np.stack([b[1] for b in batches])
+    assert all_flags[:, 0].sum() == 2 and all_flags[:, 1].sum() == 2
+
+
+def test_train_scenes_spmd_e2e(tmp_path):
+    """Full scene-parallel SPMD training on the 8-device virtual mesh."""
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.data import RLVDataset, make_rlv_fixture
+    from zero_tig_tpu.models import init_raft_variables
+    from zero_tig_tpu.parallel import train_scenes_spmd
+
+    root = make_rlv_fixture(
+        str(tmp_path / "rlv"), scenes=("S01", "S02", "S03", "S04"),
+        frames_per_scene=2, size=(64, 48),
+    )
+    ds = RLVDataset(root, "train", size=(64, 48))
+    cfg = Config(
+        frame_width=64, frame_height=48, of_scale=2, raft_iters=2,
+        epochs=1, mesh_data=4, mesh_spatial=2,
+    )
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    logs = []
+    state = train_scenes_spmd(
+        cfg, ds, raft_vars, log_fn=logs.append
+    )
+    assert any("mean" in l for l in logs)
+    losses = [float(l.split()[-1]) for l in logs if "mean" not in l]
+    assert all(np.isfinite(losses))
+    assert state.carry["last_H3"].shape == (4, 48, 64, 3)

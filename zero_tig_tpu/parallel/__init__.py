@@ -1,3 +1,4 @@
+from .spmd_train import batched_records, scene_streams, train_scenes_spmd
 from .mesh import (
     carry_sharding,
     flag_sharding,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "batched_records",
     "carry_sharding",
     "flag_sharding",
     "frame_sharding",
@@ -16,4 +18,6 @@ __all__ = [
     "replicated",
     "shard_frames",
     "shard_params",
+    "scene_streams",
+    "train_scenes_spmd",
 ]
