@@ -160,3 +160,22 @@ def test_underwater_wb_cli_train_predict(fixture_root, tmp_path):
         str(tmp_path / "uw_pred" / "**" / "*_denoise.png"), recursive=True
     )
     assert len(outs) == 6
+
+
+def test_train_cli_applies_enhancer_reinit(fixture_root, tmp_path):
+    """load_variables(for_training=True) must apply the reference's custom
+    enhancer init (train.py:82-84): conv kernels ~ N(0, 0.02)."""
+    from zero_tig_tpu.cli.common import load_variables
+
+    cfg = _tiny_config(fixture_root, str(tmp_path / "x"))
+    train_vars, _ = load_variables(cfg, for_training=True)
+    infer_vars, _ = load_variables(cfg, for_training=False)
+    k_train = np.asarray(train_vars["params"]["enhance"]["in_conv"]["kernel"])
+    k_infer = np.asarray(infer_vars["params"]["enhance"]["in_conv"]["kernel"])
+    assert abs(float(k_train.std()) - 0.02) < 0.005  # custom init
+    assert float(k_infer.std()) > 0.03  # torch-default kaiming-uniform
+    # denoisers keep the default init in both modes
+    np.testing.assert_array_equal(
+        np.asarray(train_vars["params"]["denoise_1"]["conv1"]["kernel"]),
+        np.asarray(infer_vars["params"]["denoise_1"]["conv1"]["kernel"]),
+    )

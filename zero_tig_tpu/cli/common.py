@@ -55,17 +55,30 @@ def count_parameters_in_mb(tree) -> float:
     )
 
 
-def load_variables(config: Config, *, strict_raft: bool = False):
+def load_variables(
+    config: Config, *, strict_raft: bool = False, for_training: bool = False
+):
     """Resolve (net_vars, raft_vars) from config.
 
-    Order: random init -> combined checkpoint (model_pretrain) overrides ->
-    explicit RAFT checkpoint (raft_weights) overrides raft. Unlike the
-    reference Finetunemodel (which silently drops raft.* keys and runs
-    random-init RAFT, SURVEY.md section 2.2), missing RAFT weights are
-    loudly logged; strict_raft makes them an error.
+    Order: random init -> (training only) the reference's custom enhancer
+    re-init N(0, 0.02)/zeros/N(1, 0.02) (train.py:82-84) -> combined
+    checkpoint (model_pretrain) overrides -> explicit RAFT checkpoint
+    (raft_weights) overrides raft. Unlike the reference Finetunemodel
+    (which silently drops raft.* keys and runs random-init RAFT, SURVEY.md
+    section 2.2), missing RAFT weights are loudly logged; strict_raft makes
+    them an error.
     """
+    from ..models import reinit_enhancer
+
     log = logging.getLogger()
     net_vars = init_network_variables(jax.random.PRNGKey(config.seed))
+    if for_training:
+        net_vars = {
+            **net_vars,
+            "params": reinit_enhancer(
+                jax.random.PRNGKey(config.seed + 2), net_vars["params"]
+            ),
+        }
     raft_vars = init_raft_variables(jax.random.PRNGKey(config.seed + 1))
     raft_loaded = False
 

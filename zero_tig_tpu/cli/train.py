@@ -38,7 +38,7 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
     log = setup_logging(run_dir)
     log.info("args = %s", config)
 
-    net_vars, raft_vars = load_variables(config)
+    net_vars, raft_vars = load_variables(config, for_training=True)
     log.info("model size = %f", count_parameters_in_mb(
         {"net": net_vars["params"], "raft": raft_vars["params"]}))
 
@@ -127,6 +127,14 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
 
 
 def _dump_eval_images(config, state, raft_vars, test_ds, run_dir, epoch):
+    """Per-epoch test-split dumps (train.py:137-152).
+
+    Deliberate fix over the reference: its eval loop calls Network.forward
+    directly, which never runs update_H3 (that happens only inside _loss,
+    model/model.py:205-219), so reference eval frames 2+ warp the recurrent
+    state left over from the LAST TRAINING FRAME. Here the carry threads
+    through the eval frames like real streaming inference.
+    """
     os.makedirs(os.path.join(run_dir, "result", "denoise"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "result", "enhance"), exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
