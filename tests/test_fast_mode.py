@@ -61,3 +61,30 @@ def test_fast_mode_train_step_finite(rng):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_remat_knob_smoke(rng):
+    """set_remat(False) must still produce finite gradients (and identical
+    losses -- remat changes scheduling, not math)."""
+    from zero_tig_tpu.core.precision import set_remat
+
+    cfg = Config(of_scale=2, raft_iters=2)
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frame = jnp.asarray(rng.random((1, 48, 64, 3)).astype(np.float32) * 0.2)
+    losses = {}
+    try:
+        for remat in (True, False):
+            set_remat(remat)
+            jax.clear_caches()
+            state = init_train_state(cfg, net_vars, frame.shape)
+            state, loss = train_step(
+                state, raft_vars, frame, jnp.asarray(True),
+                of_scale=2, raft_iters=2,
+            )
+            losses[remat] = float(loss)
+    finally:
+        set_remat(True)
+        jax.clear_caches()
+    assert np.isfinite(losses[True]) and np.isfinite(losses[False])
+    assert losses[True] == pytest.approx(losses[False], rel=1e-5)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from jax import lax
 
 _MODE = "highest"
+_REMAT = True
 
 
 def set_precision(mode: str) -> None:
@@ -25,6 +26,19 @@ def set_precision(mode: str) -> None:
     if mode not in ("highest", "fast"):
         raise ValueError(f"unknown precision mode {mode!r}")
     _MODE = mode
+
+
+def set_remat(enabled: bool) -> None:
+    """Rematerialization of the conv stacks in the train step. Required for
+    f32-faithful 1080p training (activations exceed HBM); with bf16
+    activations smaller operating points can disable it to trade memory
+    for backward-pass speed. Read at trace time."""
+    global _REMAT
+    _REMAT = bool(enabled)
+
+
+def get_remat() -> bool:
+    return _REMAT
 
 
 def get_mode() -> str:

@@ -185,16 +185,15 @@ def forward_train(
     inp = frame + EPS
     L11, L12 = pair_downsampler(inp)
 
-    # remat the conv stacks: at 1080p each 48/64-channel activation is
-    # ~0.4 GB and the un-checkpointed backward needs ~19 GB > 16 GB HBM;
-    # recomputing the cheap convs in the backward trades ~15% flops for
-    # fitting the whole fused train step on one chip
-    d1 = jax.checkpoint(
-        lambda p, x: DENOISE_1.apply({"params": p}, x)
-    )
-    d2 = jax.checkpoint(
-        lambda p, x: DENOISE_2.apply({"params": p}, x)
-    )
+    # remat the conv stacks (core.precision.set_remat): at 1080p each
+    # 48/64-channel activation is ~0.4 GB and the un-checkpointed f32
+    # backward needs ~19 GB > 16 GB HBM; recomputing the cheap convs in the
+    # backward trades flops for fitting the fused train step on one chip
+    from ..core.precision import get_remat
+
+    maybe_ckpt = jax.checkpoint if get_remat() else (lambda f: f)
+    d1 = maybe_ckpt(lambda p, x: DENOISE_1.apply({"params": p}, x))
+    d2 = maybe_ckpt(lambda p, x: DENOISE_2.apply({"params": p}, x))
     d1 = functools.partial(d1, params["denoise_1"])
     d2 = functools.partial(d2, params["denoise_2"])
 
@@ -220,14 +219,14 @@ def forward_train(
     enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
     enh_vars = {"params": params["enhance"], "batch_stats": batch_stats["enhance"]}
     if bn_train:
-        s2, mut = jax.checkpoint(
+        s2, mut = maybe_ckpt(
             lambda v, x: ENHANCER.apply(
                 v, x, use_running_average=False, mutable=["batch_stats"]
             )
         )(enh_vars, enh_in)
         new_batch_stats = {"enhance": mut["batch_stats"]}
     else:
-        s2 = jax.checkpoint(
+        s2 = maybe_ckpt(
             lambda v, x: ENHANCER.apply(v, x, use_running_average=True)
         )(enh_vars, enh_in)
         new_batch_stats = batch_stats
