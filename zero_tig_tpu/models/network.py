@@ -33,7 +33,7 @@ from ..ops.resize import resize_bilinear
 from ..ops.warp import warp_tensor
 from .denoise import Denoise1, Denoise2
 from .enhancer import Enhancer
-from .raft.raft import init_raft_variables, raft_forward
+from .raft.raft import raft_forward
 
 EPS = 1e-4
 

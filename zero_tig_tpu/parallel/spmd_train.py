@@ -16,14 +16,14 @@ the intended production mode, not a bit-reproduction of the paper loop
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..data.datasets import FrameDataset, FrameRecord
+from ..data.datasets import FrameDataset
 from ..models import init_network_variables
 from ..pipeline import TrainState, init_train_state, train_step
 from .mesh import flag_sharding, frame_sharding, make_mesh, shard_params

@@ -39,8 +39,6 @@ def save_checkpoint(state_bytes: bytes, is_best: bool, save_dir: str) -> str:
 
 def drop_path(x, drop_prob: float, key):
     """Stochastic depth on the batch dim (utils/utils.py:101-107), functional."""
-    import jax.numpy as jnp
-
     if drop_prob <= 0.0:
         return x
     keep = 1.0 - drop_prob
