@@ -80,3 +80,16 @@ def test_device_prefetch(fixture_root):
     assert out[0].is_new_seq is True
     # device-resident
     assert hasattr(out[0].image, "devices")
+
+
+def test_iter_u8_and_device_normalize(fixture_root):
+    """uint8 iteration + on-device normalize must equal the float path."""
+    ds_f = RLVDataset(fixture_root, "train", size=(32, 24))
+    ds_u = RLVDataset(fixture_root, "train", size=(32, 24))
+    recs_f = list(device_prefetch(iter(ds_f), depth=2))
+    recs_u = list(device_prefetch(ds_u.iter_u8(), depth=2))
+    assert len(recs_f) == len(recs_u)
+    for a, b in zip(recs_f, recs_u):
+        assert b.image.dtype == np.float32 or str(b.image.dtype) == "float32"
+        np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+        assert a.is_new_seq == b.is_new_seq

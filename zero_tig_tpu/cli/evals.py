@@ -51,7 +51,7 @@ def run_evals(
     carry = None
 
     for i, rec in enumerate(
-        device_prefetch(iter(test_ds), depth=config.prefetch_depth)
+        device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth)
     ):
         if carry is None:
             zeros = jnp.zeros_like(rec.image)

@@ -32,7 +32,7 @@ def run_predict(config: Config) -> None:
     print("Total image number: ", str(len(test_ds)))
 
     carry = None
-    for rec in device_prefetch(iter(test_ds), depth=config.prefetch_depth):
+    for rec in device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth):
         if carry is None:
             zeros = jnp.zeros_like(rec.image)
             carry = {"last_H3": zeros, "last_s3": zeros}

@@ -94,7 +94,7 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         bn_train = (epoch == 0) if bn_schedule_faithful else True
         losses = []
         for idx, rec in enumerate(
-            device_prefetch(iter(train_ds), depth=config.prefetch_depth)
+            device_prefetch(train_ds.iter_u8(), depth=config.prefetch_depth)
         ):
             state, loss = train_step(
                 state, raft_vars, rec.image,
@@ -139,7 +139,7 @@ def _dump_eval_images(config, state, raft_vars, test_ds, run_dir, epoch):
     os.makedirs(os.path.join(run_dir, "result", "enhance"), exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     carry = None
-    for rec in device_prefetch(iter(test_ds), depth=config.prefetch_depth):
+    for rec in device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth):
         if carry is None:
             zeros = jnp.zeros_like(rec.image)
             carry = {"last_H3": zeros, "last_s3": zeros}

@@ -98,6 +98,16 @@ class FrameDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def load_image_u8(self, path: str) -> np.ndarray:
+        """Decoded + resized frame as (H, W, 3) uint8 RGB (pre-normalize)."""
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if (img.shape[1], img.shape[0]) != self.size:
+            img = cv2.resize(img, self.size, interpolation=self.interpolation)
+        return img
+
     def load_image(self, path: str) -> np.ndarray:
         if self.native:
             # C++ libpng/libjpeg decode + bicubic resize (float path:
@@ -107,13 +117,7 @@ class FrameDataset:
             from .. import native as native_mod
 
             return native_mod.load_frame(path, self.size[0], self.size[1])
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
-        if img is None:
-            raise FileNotFoundError(path)
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if (img.shape[1], img.shape[0]) != self.size:
-            img = cv2.resize(img, self.size, interpolation=self.interpolation)
-        return img.astype(np.float32) / 255.0
+        return self.load_image_u8(path).astype(np.float32) / 255.0
 
     def __iter__(self) -> Iterator[FrameRecord]:
         for path in self.paths:
@@ -121,6 +125,25 @@ class FrameDataset:
             self._last_path = path
             yield FrameRecord(
                 image=self.load_image(path),
+                name=os.path.splitext(os.path.basename(path))[0],
+                path=path,
+                is_new_seq=is_new,
+            )
+
+    def iter_u8(self) -> Iterator[FrameRecord]:
+        """Like __iter__ but images stay uint8 (normalize on device; see
+        data.prefetch.device_prefetch transfer_uint8). Skips the host-side
+        float conversion entirely -- on a relayed TPU the uint8 H2D path is
+        ~4-100x cheaper. Native-IO datasets fall back to their float path
+        (the C++ loader fuses normalization)."""
+        if self.native:
+            yield from self
+            return
+        for path in self.paths:
+            is_new = sequential_judgment(path, self._last_path)
+            self._last_path = path
+            yield FrameRecord(
+                image=self.load_image_u8(path),
                 name=os.path.splitext(os.path.basename(path))[0],
                 path=path,
                 is_new_seq=is_new,

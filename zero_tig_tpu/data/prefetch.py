@@ -39,8 +39,17 @@ def device_prefetch(
     depth: int = 2,
     device=None,
     dtype=jnp.float32,
+    transfer_uint8: bool = True,
 ) -> Iterator[DeviceRecord]:
-    """Iterate records with a decode thread + `depth`-deep device staging."""
+    """Iterate records with a decode thread + `depth`-deep device staging.
+
+    transfer_uint8 (default): records whose image is ALREADY uint8 (see
+    FrameDataset.iter_u8) ship as uint8 and normalize to [0, 1] float ON
+    DEVICE -- 4x less H2D traffic, and on this image's relayed TPU the
+    float transfer path is pathologically slow (~100x; measured in
+    BASELINE.md). Bit-identical to host-side /255 (f32 division is exact
+    either way). Float records ship verbatim.
+    """
     if device is None:
         device = jax.devices()[0]
 
@@ -51,8 +60,12 @@ def device_prefetch(
     def worker():
         try:
             for rec in records:
-                img = np.asarray(rec.image, np.float32)[None]  # (1, H, W, 3)
-                dev = jax.device_put(jnp.asarray(img, dtype), device)
+                img = np.asarray(rec.image)[None]  # (1, H, W, 3)
+                if transfer_uint8 and img.dtype == np.uint8:
+                    dev = jax.device_put(jnp.asarray(img), device)
+                    dev = dev.astype(dtype) / 255.0  # on-device normalize
+                else:
+                    dev = jax.device_put(jnp.asarray(img, dtype), device)
                 q.put(DeviceRecord(dev, rec.name, rec.path, rec.is_new_seq))
         except BaseException as e:  # surfaced to the consumer
             error.append(e)
