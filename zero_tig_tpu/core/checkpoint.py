@@ -265,6 +265,11 @@ def _export_raft(out: dict, raft_vars: dict) -> None:
                 if key.endswith("weight") and arr.ndim == 4:
                     arr = conv_back(arr)
                 out["raft." + key] = arr
+                # torch registers strided-block norm3 twice: as .norm3 AND as
+                # .downsample.1 (extractor.py:25,43-44) -- emit both aliases
+                # so reference strict loading sees every key
+                if ".downsample.1." in key:
+                    out["raft." + key.replace(".downsample.1.", ".norm3.")] = arr
 
     walk(raft_vars["params"], "raft.", (), "params")
     walk(raft_vars.get("batch_stats", {}), "raft.", (), "batch_stats")
