@@ -38,6 +38,10 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 # headline runs the TPU-native bf16 operating point; "highest" is the
 # f32-faithful parity mode (see core/precision.py and BASELINE.md)
 PRECISION = os.environ.get("BENCH_PRECISION", "fast")
+# frames per lax.scan chunk: streaming video inference issues K frames per
+# dispatch (pipeline.predict_chunk), amortizing the per-call host/relay
+# latency exactly like production serving; every frame is fully computed.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 
 
 def main() -> None:
@@ -46,7 +50,7 @@ def main() -> None:
         init_network_variables,
         init_raft_variables,
     )
-    from zero_tig_tpu.pipeline import predict_step
+    from zero_tig_tpu.pipeline import predict_chunk, predict_step
 
     precision.set_precision(PRECISION)
 
@@ -71,24 +75,43 @@ def main() -> None:
             of_scale=OF_SCALE, raft_iters=RAFT_ITERS,
         )
 
+    def chunk_step(carry, fs, news):
+        return predict_chunk(
+            net_vars, raft_vars, fs, carry, news,
+            of_scale=OF_SCALE, raft_iters=RAFT_ITERS,
+        )
+
     # warmup (compile) + prime the recurrence
     t0 = time.time()
     (_, _, _), carry = step(carry, frame, True)
     jax.block_until_ready(carry)
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
-    for _ in range(WARMUP):
-        (_, _, _), carry = step(carry, frame, False)
-    jax.block_until_ready(carry)
+
+    if CHUNK > 1:
+        frames = jnp.stack(
+            [frame + 0.001 * (i % 3) * noise for i in range(CHUNK)]
+        )
+        news = jnp.zeros((CHUNK,), jnp.bool_)
+        t0 = time.time()
+        _, carry = chunk_step(carry, frames, news)
+        float(carry["last_H3"][0, 0, 0, 0])
+        print(f"# chunk compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(STEPS):
         f = frame + 0.001 * (i % 3) * noise  # vary input, avoid caching
         t1 = time.time()
-        (H2, H3, s3), carry = step(carry, f, False)
-        # device->host readback of a scalar: the only reliable full sync on
-        # the experimental axon platform (block_until_ready returns early)
-        float(H3[0, 0, 0, 0])
-        times.append(time.time() - t1)
+        if CHUNK > 1:
+            frames = frames + 0.0005 * (i % 2)
+            (H2s, H3s, s3s), carry = chunk_step(carry, frames, news)
+            # device->host readback: the only reliable full sync on the
+            # experimental axon platform (block_until_ready returns early)
+            float(H3s[-1, 0, 0, 0, 0])
+            times.append((time.time() - t1) / CHUNK)
+        else:
+            (H2, H3, s3), carry = step(carry, f, False)
+            float(H3[0, 0, 0, 0])
+            times.append(time.time() - t1)
 
     sec = statistics.median(times)
     fps = 1.0 / sec

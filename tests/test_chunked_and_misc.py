@@ -159,3 +159,35 @@ def test_forward_interpolate():
     assert out.shape == (2, 10, 12)
     np.testing.assert_allclose(out[0, 2:-2, 4:-4], 2.0, atol=1e-6)
     np.testing.assert_allclose(out[1], 0.0, atol=1e-6)
+
+
+def test_train_step_hparams_are_dynamic():
+    """lr/grad_clip/weight_decay are traced, not static: changing them must
+    NOT recompile (a hyperparameter sweep would otherwise pay a full 1080p
+    compile per value) and must change the update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.models import init_network_variables, init_raft_variables
+    from zero_tig_tpu.pipeline import init_train_state, train_step
+
+    cfg = Config(of_scale=2, raft_iters=1)
+    nv = init_network_variables(jax.random.PRNGKey(0))
+    rv = init_raft_variables(jax.random.PRNGKey(1))
+    st = init_train_state(cfg, nv, (1, 32, 32, 3))
+    f = jnp.zeros((1, 32, 32, 3)) + 0.2
+    new = jnp.asarray(False)
+
+    kw = dict(of_scale=2, raft_iters=1)
+    before = train_step._cache_size()
+    st1, _ = train_step(st, rv, f, new, lr=1e-4, grad_clip=5.0,
+                        weight_decay=3e-4, **kw)
+    after_first = train_step._cache_size()
+    st2, _ = train_step(st, rv, f, new, lr=5e-4, grad_clip=2.0,
+                        weight_decay=1e-3, **kw)
+    assert train_step._cache_size() == after_first, "hparam change recompiled"
+    d1 = np.asarray(jax.tree_util.tree_leaves(st1.params)[0])
+    d2 = np.asarray(jax.tree_util.tree_leaves(st2.params)[0])
+    assert not np.allclose(d1, d2), "hyperparameters ignored"

@@ -279,3 +279,16 @@ def test_texture_difference_mask(rng):
     # threshold pixels may flip due to float associativity)
     agree = (out == ref).mean()
     assert agree > 0.999, f"mask agreement {agree}"
+
+
+def test_grid_sample_pixel_quad_bit_identical(rng):
+    """The single-gather quad formulation == the 4-gather path, exactly
+    (same f32 weight/accumulation math, zero-padded corners)."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.uniform(0, 1, (2, 17, 23, 6)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-4, 27, (2, 9, 11)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 21, (2, 9, 11)).astype(np.float32))
+    base = ops.grid_sample_pixel(img, x, y)
+    quad = ops.sampling.grid_sample_pixel_quad(img, x, y)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(quad))

@@ -112,13 +112,16 @@ def run_evals(
                 )
 
     n = max(num_img, 1)
+    # LPIPS is null (not 0.0) when never measured: downstream consumers must
+    # be able to distinguish "perfect" from "not measured"
+    measured_lpips = lpips_fn is not None and num_img > 0
     metrics = {
         "Total_PSNR": totals["psnr"] / n,
         "Total_SSIM": totals["ssim"] / n,
-        "Total_LPIPS": totals["lpips"] / n,
+        "Total_LPIPS": totals["lpips"] / n if measured_lpips else None,
         "Total_PSNR_HM": totals["psnr_hm"] / n,
         "Total_SSIM_HM": totals["ssim_hm"] / n,
-        "Total_LPIPS_HM": totals["lpips_hm"] / n,
+        "Total_LPIPS_HM": totals["lpips_hm"] / n if measured_lpips else None,
     }
     with open(os.path.join(config.save, "Metrics.json"), "w") as f:
         json.dump(metrics, f)

