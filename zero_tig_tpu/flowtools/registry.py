@@ -43,12 +43,23 @@ def available_models() -> list[str]:
 
 def _register_builtin() -> None:
     from ..models.raft.raft import init_raft_variables, raft_forward
+    from ..models.raft.small import init_raft_small_variables, raft_small_forward
 
     register_flow_model(
         FlowModel(
             name="raft",
             init_fn=init_raft_variables,
             forward_fn=lambda v, a, b, iters: raft_forward(v, a, b, iters=iters),
+            default_iters=12,
+        )
+    )
+    register_flow_model(
+        FlowModel(
+            name="raft_small",
+            init_fn=init_raft_small_variables,
+            forward_fn=lambda v, a, b, iters: raft_small_forward(
+                v, a, b, iters=iters
+            ),
             default_iters=12,
         )
     )
