@@ -104,7 +104,16 @@ def test_avg_pool2d_matches_torch(rng):
 @pytest.mark.parametrize("align", [False, True])
 @pytest.mark.parametrize(
     "in_hw,out_hw",
-    [((12, 16), (7, 9)), ((7, 9), (21, 30)), ((360, 640), (33, 47))],
+    [
+        ((12, 16), (7, 9)),
+        ((7, 9), (21, 30)),
+        ((360, 640), (33, 47)),
+        # integer-ratio strided fast paths (align_corners=False branch):
+        ((12, 16), (4, 8)),    # 3x / 2x downscale
+        ((6, 8), (24, 16)),    # 4x / 2x upscale
+        ((9, 8), (27, 40)),    # 3x / 5x upscale (odd phases + clamp row)
+        ((30, 8), (5, 8)),     # 6x downscale / identity W
+    ],
 )
 def test_resize_bilinear(rng, align, in_hw, out_hw):
     x = rng.random((2, *in_hw, 3)).astype(np.float32)

@@ -108,6 +108,56 @@ def test_full_cli_train_predict_eval(fixture_root, tmp_path):
     }
 
 
+def test_predict_cli_chunked_equivalence(fixture_root, tmp_path):
+    """--chunk K must produce the same PNGs as the per-frame path (one full
+    chunk of 4 + a trailing partial group of 2 over the 6 fixture frames)."""
+    from zero_tig_tpu.cli.predict import run_predict
+
+    outs = {}
+    for chunk in (1, 4):
+        cfg = Config(
+            lowlight_images_path=fixture_root,
+            save=str(tmp_path / f"pred_c{chunk}"),
+            dataset="RLV",
+            chunk=chunk,
+            **TINY,
+        )
+        run_predict(cfg)
+        files = sorted(
+            glob.glob(str(tmp_path / f"pred_c{chunk}" / "**" / "*.png"),
+                      recursive=True)
+        )
+        assert len(files) == 12
+        outs[chunk] = {os.path.relpath(f, cfg.save): f for f in files}
+
+    assert outs[1].keys() == outs[4].keys()
+    import cv2
+
+    for rel in outs[1]:
+        a = cv2.imread(outs[1][rel])
+        b = cv2.imread(outs[4][rel])
+        np.testing.assert_array_equal(a, b, err_msg=rel)
+
+
+def test_train_cli_chunked_smoke(fixture_root, tmp_path):
+    """--chunk 2 through the train CLI: runs, logs per-frame losses, dumps
+    the reference artifact layout."""
+    from zero_tig_tpu.cli.train import run_training
+
+    cfg = Config(
+        lowlight_images_path=fixture_root,
+        save=str(tmp_path / "exp_chunk"),
+        dataset="RLV",
+        chunk=2,
+        **TINY,
+    )
+    run_dir = run_training(cfg)
+    assert glob.glob(os.path.join(run_dir, "model_epochs", "weights_0.*"))
+    with open(os.path.join(run_dir, "log.txt")) as f:
+        text = f.read()
+    assert text.count("train-epoch 000 ") >= 6  # 6 per-frame loss lines
+
+
 def test_predict_carry_threading(rng):
     """Continuation frames must consume the previous output: feeding the
     same frame twice with is_new_seq=False vs True gives different H3."""

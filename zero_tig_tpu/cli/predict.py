@@ -15,8 +15,32 @@ import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import create_dataset, device_prefetch
-from ..pipeline import predict_step
+from ..data.prefetch import ChunkRecord, chunk_records
+from ..pipeline import predict_chunk, predict_step
 from .common import load_variables, setup_logging, write_png
+
+
+def _save_frame(config: Config, rec, H2, H3) -> None:
+    if config.dataset in ("RLV", "BVI-RLV", "lowlight_dataset"):
+        splits = rec.path.split(os.sep)
+        save_dir = os.path.join(config.save, splits[-3], splits[-2])
+    else:
+        # reference keys on the immediate parent dir only
+        # (predict.py:99), which collides across scenes sharing a
+        # subfolder name; include the scene dir as well
+        parent = os.path.dirname(rec.path)
+        save_dir = os.path.join(
+            config.save,
+            os.path.basename(os.path.dirname(parent)),
+            os.path.basename(parent),
+        )
+    os.makedirs(save_dir, exist_ok=True)
+    write_png(
+        os.path.join(save_dir, rec.name + "_denoise.png"), np.asarray(H3)[0]
+    )
+    write_png(
+        os.path.join(save_dir, rec.name + "_enhance.png"), np.asarray(H2)[0]
+    )
 
 
 def run_predict(config: Config) -> None:
@@ -31,8 +55,28 @@ def run_predict(config: Config) -> None:
     )
     print("Total image number: ", str(len(test_ds)))
 
+    step_kwargs = dict(of_scale=config.of_scale, raft_iters=config.raft_iters)
     carry = None
-    for rec in device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth):
+    stream = device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth)
+    # --chunk K dispatches K frames per lax.scan program (predict_chunk),
+    # amortizing per-call host/relay latency; trailing partial groups fall
+    # back to the per-frame step
+    for item in chunk_records(stream, config.chunk):
+        if isinstance(item, ChunkRecord):
+            if carry is None:
+                zeros = jnp.zeros_like(item.images[0])
+                carry = {"last_H3": zeros, "last_s3": zeros}
+            for rec in item.records:
+                if rec.is_new_seq:
+                    print("Eval Get this img from: ", rec.path)
+            (H2s, H3s, _s3s), carry = predict_chunk(
+                net_vars, raft_vars, item.images, carry, item.flags,
+                **step_kwargs,
+            )
+            for i, rec in enumerate(item.records):
+                _save_frame(config, rec, H2s[i], H3s[i])
+            continue
+        rec = item
         if carry is None:
             zeros = jnp.zeros_like(rec.image)
             carry = {"last_H3": zeros, "last_s3": zeros}
@@ -40,32 +84,9 @@ def run_predict(config: Config) -> None:
             print("Eval Get this img from: ", rec.path)
         (H2, H3, _s3), carry = predict_step(
             net_vars, raft_vars, rec.image, carry,
-            jnp.asarray(rec.is_new_seq),
-            of_scale=config.of_scale, raft_iters=config.raft_iters,
+            jnp.asarray(rec.is_new_seq), **step_kwargs,
         )
-
-        if config.dataset in ("RLV", "BVI-RLV", "lowlight_dataset"):
-            splits = rec.path.split(os.sep)
-            save_dir = os.path.join(config.save, splits[-3], splits[-2])
-        else:
-            # reference keys on the immediate parent dir only
-            # (predict.py:99), which collides across scenes sharing a
-            # subfolder name; include the scene dir as well
-            parent = os.path.dirname(rec.path)
-            save_dir = os.path.join(
-                config.save,
-                os.path.basename(os.path.dirname(parent)),
-                os.path.basename(parent),
-            )
-        os.makedirs(save_dir, exist_ok=True)
-        write_png(
-            os.path.join(save_dir, rec.name + "_denoise.png"),
-            np.asarray(H3)[0],
-        )
-        write_png(
-            os.path.join(save_dir, rec.name + "_enhance.png"),
-            np.asarray(H2)[0],
-        )
+        _save_frame(config, rec, H2, H3)
 
 
 def main(argv=None):

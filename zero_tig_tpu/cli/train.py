@@ -20,7 +20,13 @@ import numpy as np
 from ..core.checkpoint import save_msgpack, save_torch_pt
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import create_dataset, device_prefetch
-from ..pipeline import eval_forward_step, init_train_state, train_step
+from ..data.prefetch import ChunkRecord, chunk_records
+from ..pipeline import (
+    eval_forward_step,
+    init_train_state,
+    train_chunk,
+    train_step,
+)
 from .common import (
     count_parameters_in_mb,
     create_exp_dir,
@@ -93,16 +99,36 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         # statistics (train.py:115-138; see models.network.forward_train)
         bn_train = (epoch == 0) if bn_schedule_faithful else True
         losses = []
-        for idx, rec in enumerate(
-            device_prefetch(train_ds.iter_u8(), depth=config.prefetch_depth)
-        ):
-            state, loss = train_step(
-                state, raft_vars, rec.image,
-                jnp.asarray(rec.is_new_seq), bn_train=bn_train, **step_kwargs,
-            )
-            losses.append(float(loss))
-            total_step += 1
-            log.info("train-epoch %03d %03d %f", epoch, idx, losses[-1])
+        stream = device_prefetch(train_ds.iter_u8(), depth=config.prefetch_depth)
+        # --chunk K runs K sequential frames as ONE lax.scan program
+        # (pipeline.train_chunk, loop-equivalence tested); the trailing
+        # partial group uses the per-frame step so no padding frame ever
+        # advances the optimizer
+        for item in chunk_records(stream, config.chunk):
+            if isinstance(item, ChunkRecord):
+                state, k_losses = train_chunk(
+                    state, raft_vars, item.images, item.flags,
+                    bn_train=bn_train, **step_kwargs,
+                )
+                for lv in np.asarray(k_losses):
+                    losses.append(float(lv))
+                    total_step += 1
+                    log.info(
+                        "train-epoch %03d %03d %f", epoch, len(losses) - 1,
+                        losses[-1],
+                    )
+            else:
+                state, loss = train_step(
+                    state, raft_vars, item.image,
+                    jnp.asarray(item.is_new_seq), bn_train=bn_train,
+                    **step_kwargs,
+                )
+                losses.append(float(loss))
+                total_step += 1
+                log.info(
+                    "train-epoch %03d %03d %f", epoch, len(losses) - 1,
+                    losses[-1],
+                )
         log.info("train-epoch %03d %f", epoch, float(np.mean(losses)))
 
         net_out = {"params": state.params, "batch_stats": state.batch_stats}

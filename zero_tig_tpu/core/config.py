@@ -55,6 +55,7 @@ class Config:
     mesh_data: int = 1  # scene-parallel axis size
     mesh_spatial: int = 1  # spatial-sharding axis size
     prefetch_depth: int = 2  # host->device double buffering
+    chunk: int = 1  # frames per lax.scan dispatch (train_chunk/predict_chunk)
 
     @property
     def is_wb(self) -> bool:

@@ -81,3 +81,39 @@ def device_prefetch(
                 raise error[0]
             return
         yield item
+
+
+class ChunkRecord:
+    """K consecutive frames staged for one lax.scan dispatch."""
+
+    __slots__ = ("images", "flags", "records")
+
+    def __init__(self, images, flags, records):
+        self.images = images  # (K, B, H, W, 3) on device
+        self.flags = flags  # (K,) bool on device
+        self.records = records  # list[DeviceRecord] for names/paths
+
+
+def chunk_records(
+    records: Iterable[DeviceRecord], k: int
+) -> Iterator[ChunkRecord | DeviceRecord]:
+    """Group device records into ChunkRecords of exactly ``k`` frames.
+
+    Streaming order is preserved; the trailing partial group is yielded as
+    the individual DeviceRecords so callers fall back to the per-frame step
+    (avoids advancing train/opt state on padding frames).
+    """
+    if k <= 1:
+        yield from records
+        return
+    buf: list[DeviceRecord] = []
+    for rec in records:
+        buf.append(rec)
+        if len(buf) == k:
+            yield ChunkRecord(
+                jnp.stack([r.image for r in buf]),
+                jnp.asarray([r.is_new_seq for r in buf]),
+                buf,
+            )
+            buf = []
+    yield from buf

