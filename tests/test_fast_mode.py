@@ -88,3 +88,65 @@ def test_remat_knob_smoke(rng):
         jax.clear_caches()
     assert np.isfinite(losses[True]) and np.isfinite(losses[False])
     assert losses[True] == pytest.approx(losses[False], rel=1e-5)
+
+
+def test_block_gather_matches_quad_on_smooth_maps(rng):
+    """grid_sample_pixel_block == grid_sample_pixel_quad (f32-rounding
+    level) whenever block corner spans fit the 4x4 footprint -- the always-
+    true case for RAFT-upsampled warp maps away from occlusion edges."""
+    from zero_tig_tpu.ops.sampling import (
+        grid_sample_pixel_block,
+        grid_sample_pixel_quad,
+    )
+
+    h, w, c = 48, 64, 6
+    img = jnp.asarray(rng.random((2, h, w, c)).astype(np.float32))
+    # smooth map: identity + slowly varying displacement, incl. OOB borders
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    dx = 3.0 * np.sin(gy / 9.0) + 4.5
+    dy = 2.0 * np.cos(gx / 11.0) - 3.5
+    px = jnp.asarray(np.stack([gx + dx, gx - dx]))
+    py = jnp.asarray(np.stack([gy + dy, gy - dy]))
+
+    out_b = np.asarray(grid_sample_pixel_block(img, px, py))
+    out_q = np.asarray(
+        grid_sample_pixel_quad(img.astype(jnp.bfloat16), px, py)
+    )
+    np.testing.assert_allclose(out_b, out_q, atol=1e-5)
+
+
+def test_block_gather_fully_oob_is_zero(rng):
+    from zero_tig_tpu.ops.sampling import grid_sample_pixel_block
+
+    h, w = 16, 32
+    img = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32) + 0.5)
+    px = jnp.full((1, h, w), -7.0)
+    py = jnp.full((1, h, w), 300.0)
+    out = np.asarray(grid_sample_pixel_block(img, px, py))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_fast_warp_tensor_uses_block_path(rng):
+    """warp_tensor in fast mode (even dims, C<=8) must equal the highest-
+    mode warp on smooth RAFT-scale flows up to bf16 value rounding."""
+    from zero_tig_tpu.ops.warp import warp_tensor
+
+    # smooth flow field (RAFT flows are convex-upsampled from 1/8 res; white
+    # noise would exceed the block path's ~1 px/px local-gradient bound)
+    gy, gx = np.meshgrid(np.arange(24, dtype=np.float32),
+                         np.arange(32, dtype=np.float32), indexing="ij")
+    flow = jnp.asarray(
+        np.stack([3 * np.sin(gx / 7.0 + 1.0), 2 * np.cos(gy / 5.0)], -1)[None]
+    )
+    img = jnp.asarray(rng.random((1, 48, 64, 6)).astype(np.float32))
+
+    precision.set_precision("highest")
+    jax.clear_caches()
+    ref, _ = warp_tensor(flow, img)
+    precision.set_precision("fast")
+    jax.clear_caches()
+    out, _ = warp_tensor(flow, img)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=6e-3
+    )

@@ -295,7 +295,19 @@ def forward_inference(
     """
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    inp = frame + EPS
+    # fast mode: the whole inference forward computes on bf16 tensors.
+    # 1080p small-C NHWC arrays lane-pad 3->128 on TPU, so every f32
+    # elementwise materialization costs ~42x its logical bytes; bf16 halves
+    # that and matches the convs' compute dtype. Outputs/carry are cast
+    # back to f32 (external contract; scan carry dtype stability).
+    from ..core.precision import get_mode
+
+    cdt = jnp.bfloat16 if get_mode() == "fast" else frame.dtype
+    inp = (frame + EPS).astype(cdt)
+    carry = {
+        "last_H3": carry["last_H3"].astype(cdt),
+        "last_s3": carry["last_s3"].astype(cdt),
+    }
     L2 = jnp.clip(
         inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
     )
@@ -333,5 +345,8 @@ def forward_inference(
         1.0,
     )
     H3, s3 = H5_pred[..., :3], H5_pred[..., 3:]
+    H2 = H2.astype(jnp.float32)
+    H3 = H3.astype(jnp.float32)
+    s3 = s3.astype(jnp.float32)
     new_carry = {"last_H3": H3, "last_s3": s3}
     return (H2, H3, s3), new_carry

@@ -54,18 +54,25 @@ def warp_tensor(
         axis=-1,
     )
     if get_mode() == "fast":
-        # single-gather quad formulation + bf16 pixel values: the gather unit
-        # is row-rate-bound, so 1 gather of 4C bf16 channels beats 4 gathers
-        # of C f32 channels ~4x (33 -> 9 ms/frame at 1080p). Coords, weights
-        # and accumulation stay f32; output values are bit-identical to the
-        # 4-gather path at equal value dtype.
-        from .sampling import grid_sample_pixel_quad
+        # fast-mode warp, in order of preference (values bf16; coords,
+        # weights and accumulation f32):
+        #   1. block path: ONE 128-lane gather per 2x2 output block (the
+        #      gather unit is row-rate-bound; 4x fewer rows than per-pixel
+        #      quads). Exact vs the quad path on RAFT-smooth flows, clamps
+        #      at >1 px/px flow discontinuities (see sampling doc).
+        #   2. quad path: one gather of all 4 corners per pixel
+        #      (bit-identical to the 4-gather reference formulation).
+        from .sampling import grid_sample_pixel_block, grid_sample_pixel_quad
 
         px = ((grid[..., 0] + 1.0) * w_dst - 1.0) * 0.5
         py = ((grid[..., 1] + 1.0) * h_dst - 1.0) * 0.5
-        warped = grid_sample_pixel_quad(
-            img1.astype(jnp.bfloat16), px, py
-        ).astype(img1.dtype)
+        c = img1.shape[-1]
+        if h_dst % 2 == 0 and w_dst % 2 == 0 and c <= 8:
+            warped = grid_sample_pixel_block(img1, px, py).astype(img1.dtype)
+        else:
+            warped = grid_sample_pixel_quad(
+                img1.astype(jnp.bfloat16), px, py
+            ).astype(img1.dtype)
     else:
         warped = grid_sample(img1, grid, align_corners=False)
     overlap = None if img2 is None else 0.5 * warped + 0.5 * img2
