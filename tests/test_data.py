@@ -93,3 +93,34 @@ def test_iter_u8_and_device_normalize(fixture_root):
         assert b.image.dtype == np.float32 or str(b.image.dtype) == "float32"
         np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
         assert a.is_new_seq == b.is_new_seq
+
+
+def test_loader_resize_matches_pil_reference(tmp_path, rng):
+    """Downscaling frames must match the reference's PIL pipeline exactly
+    (Image.open().convert('RGB').resize(size), antialiased-bicubic default,
+    multi_read_data.py:127-132). cv2.INTER_CUBIC does NOT antialias and is
+    only an opt-in (ZERO_TIG_CV2_RESIZE=1)."""
+    import cv2
+    from PIL import Image
+
+    from zero_tig_tpu.data.datasets import FrameDataset
+
+    src = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "0000.png")
+    cv2.imwrite(p, src[..., ::-1])
+
+    ds = FrameDataset([p], size=(48, 32))
+    got = ds.load_image_u8(p)
+    with Image.open(p) as im:
+        want = np.asarray(
+            im.convert("RGB").resize((48, 32), Image.Resampling.BICUBIC)
+        )
+    np.testing.assert_array_equal(got, want)
+
+    # measured divergence documentation: cv2 INTER_CUBIC differs on downscale
+    cv2_out = cv2.resize(src, (48, 32), interpolation=cv2.INTER_CUBIC)
+    assert np.abs(cv2_out.astype(int) - want.astype(int)).max() > 2
+
+    # no-resize case: identical bytes either way (PNG lossless)
+    ds_native = FrameDataset([p], size=(96, 64))
+    np.testing.assert_array_equal(ds_native.load_image_u8(p), src)

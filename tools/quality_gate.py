@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Fast-mode quality gate with TRAINED weights (not random init).
+
+Trains the synthetic RLV fixture in 'highest' (f32-faithful) precision,
+then evaluates the SAME trained checkpoint under both precision modes on
+the fixture's test split with the temporal recurrence active, reporting:
+
+  * mode-vs-mode PSNR of H3 (the headline-precision acceptance number),
+  * PSNR/SSIM vs ground truth under each mode (the end-metric delta).
+
+Gate (documented in BASELINE.md): the headline bench runs precision=fast
+iff trained-weights mode-vs-mode PSNR >= 40 dB AND the GT-metric deltas
+are below 0.05 dB PSNR / 0.001 SSIM. Otherwise the headline must fall back
+to 'highest'.
+
+Usage: python tools/quality_gate.py [--size 256 --epochs 2 --frames 6]
+(runs on whatever backend JAX selects; CPU works at small sizes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--of_scale", type=int, default=2)
+    ap.add_argument("--raft_iters", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from zero_tig_tpu.core import precision
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.data import create_dataset, make_rlv_fixture
+    from zero_tig_tpu.eval.metrics import psnr_uint8, ssim_uint8
+    from zero_tig_tpu.models import init_network_variables, init_raft_variables
+    from zero_tig_tpu.pipeline import (
+        init_train_state,
+        predict_step,
+        train_step,
+    )
+
+    root = tempfile.mkdtemp(prefix="qgate_rlv_")
+    make_rlv_fixture(
+        root, frames_per_scene=args.frames, size=(args.size, args.size)
+    )
+    cfg = Config(
+        lowlight_images_path=root,
+        dataset="RLV",
+        frame_width=args.size,
+        frame_height=args.size,
+        of_scale=args.of_scale,
+        raft_iters=args.raft_iters,
+    )
+
+    # ---- train in f32-faithful mode
+    precision.set_precision("highest")
+    net_vars = init_network_variables(jax.random.PRNGKey(cfg.seed))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(cfg.seed + 1))
+    shape = (1, args.size, args.size, 3)
+    state = init_train_state(cfg, net_vars, shape)
+
+    train_ds = create_dataset(cfg.dataset, root, "train",
+                              size=(args.size, args.size))
+    sk = dict(of_scale=cfg.of_scale, raft_iters=cfg.raft_iters)
+    for epoch in range(args.epochs):
+        losses = []
+        for rec in train_ds:
+            frame = jnp.asarray(np.asarray(rec.image, np.float32)[None])
+            state, loss = train_step(
+                state, raft_vars, frame, jnp.asarray(rec.is_new_seq),
+                bn_train=(epoch == 0), **sk,
+            )
+            losses.append(float(loss))
+        print(f"# epoch {epoch}: mean loss {np.mean(losses):.2f}", flush=True)
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ---- eval the trained weights under both modes
+    test_ds = create_dataset(cfg.dataset, root, "test",
+                             size=(args.size, args.size))
+    records = list(test_ds)
+
+    def run_mode(mode):
+        precision.set_precision(mode)
+        jax.clear_caches()
+        carry = {
+            "last_H3": jnp.zeros(shape, jnp.float32),
+            "last_s3": jnp.zeros(shape, jnp.float32),
+        }
+        outs = []
+        for rec in records:
+            frame = jnp.asarray(np.asarray(rec.image, np.float32)[None])
+            (H2, H3, s3), carry = predict_step(
+                trained, raft_vars, frame, carry,
+                jnp.asarray(rec.is_new_seq), **sk,
+            )
+            outs.append(np.asarray(H3[0], np.float32))
+        return outs
+
+    hi = run_mode("highest")
+    fa = run_mode("fast")
+    precision.set_precision("highest")
+
+    mode_psnrs = []
+    gt_metrics = {"highest": [], "fast": []}
+    for rec, a, b in zip(records, hi, fa):
+        mse = float(np.mean((a - b) ** 2))
+        mode_psnrs.append(10 * np.log10(1.0 / mse) if mse > 0 else 99.0)
+        gt_path = rec.path.replace("input", "gt").replace(
+            "low_light_", "normal_light_"
+        )
+        import cv2
+
+        gt = cv2.imread(gt_path)[..., ::-1]
+        gt = cv2.resize(gt, (args.size, args.size))
+        for mode, out in (("highest", a), ("fast", b)):
+            u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+            gt_metrics[mode].append(
+                (psnr_uint8(u8, gt), ssim_uint8(u8, gt))
+            )
+
+    res = {
+        "trained_mode_vs_mode_psnr_db": round(float(np.mean(mode_psnrs)), 2),
+        "gt_psnr_highest": round(
+            float(np.mean([m[0] for m in gt_metrics["highest"]])), 3),
+        "gt_psnr_fast": round(
+            float(np.mean([m[0] for m in gt_metrics["fast"]])), 3),
+        "gt_ssim_highest": round(
+            float(np.mean([m[1] for m in gt_metrics["highest"]])), 4),
+        "gt_ssim_fast": round(
+            float(np.mean([m[1] for m in gt_metrics["fast"]])), 4),
+    }
+    res["gate_pass_fast"] = bool(
+        res["trained_mode_vs_mode_psnr_db"] >= 40.0
+        and abs(res["gt_psnr_highest"] - res["gt_psnr_fast"]) < 0.05
+        and abs(res["gt_ssim_highest"] - res["gt_ssim_fast"]) < 0.001
+    )
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

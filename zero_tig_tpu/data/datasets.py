@@ -14,8 +14,11 @@ The broken reference ``DefaultDataset`` (multi_read_data.py:29-71 -- its
 documented ``--dataset underwater`` path crashes) is replaced by a WORKING
 generic recursive loader with the same intended behavior.
 
-Decoding uses OpenCV (native C++), matching PIL's convert('RGB') +
-resize(BICUBIC default) semantics.
+Decoding/resizing defaults to PIL for exact reference parity
+(multi_read_data.py:127-132 -- PIL's default resample is antialiased
+bicubic, which cv2.INTER_CUBIC does NOT match on downscale); set
+ZERO_TIG_CV2_RESIZE=1 or ZERO_TIG_NATIVE_IO=1 for the faster cv2/C++
+decode paths (identical when frames are already at target size).
 """
 
 from __future__ import annotations
@@ -89,6 +92,9 @@ class FrameDataset:
         if native is None:
             native = os.environ.get("ZERO_TIG_NATIVE_IO", "0") == "1"
         self.native = native
+        # PIL decode+resize is the reference-parity default (see
+        # load_image_u8); cv2 and the native C++ loader are speed opt-ins
+        self._use_pil = os.environ.get("ZERO_TIG_CV2_RESIZE", "0") != "1"
         if self.native:
             from .. import native as native_mod
 
@@ -99,7 +105,26 @@ class FrameDataset:
         return len(self.paths)
 
     def load_image_u8(self, path: str) -> np.ndarray:
-        """Decoded + resized frame as (H, W, 3) uint8 RGB (pre-normalize)."""
+        """Decoded + resized frame as (H, W, 3) uint8 RGB (pre-normalize).
+
+        Resize parity: the reference decodes AND resizes with PIL
+        (Image.open(...).convert('RGB').resize((1920, 1080)),
+        multi_read_data.py:127-132); PIL's default resample is ANTIALIASED
+        bicubic, which differs from cv2.INTER_CUBIC on any actual
+        downscale (cv2 does not antialias; measured ~28 dB apart on
+        detailed content). Frames already at the target size decode
+        identically either way (PNG is lossless), so BVI-RLV at native
+        1920x1080 is unaffected. Default is the PIL path for parity;
+        ZERO_TIG_CV2_RESIZE=1 opts into the faster cv2 path.
+        """
+        if self._use_pil:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                im = im.convert("RGB")
+                if im.size != self.size:
+                    im = im.resize(self.size, Image.Resampling.BICUBIC)
+                return np.asarray(im, np.uint8)
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
