@@ -1,0 +1,98 @@
+"""Spatial gradient accumulation: exact equivalence to the monolithic step.
+
+train_step_spatial exists so f32-faithful FULL-RES training fits one chip
+(BASELINE.md); these tests certify it computes the SAME optimization
+trajectory as pipeline.train_step (bn_train=False) -- same losses, same
+parameters, same recurrent carry -- across consecutive frames, including
+a geometry where band slices genuinely crop (slice_h < H).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zero_tig_tpu.core.config import Config
+from zero_tig_tpu.models import init_network_variables, init_raft_variables
+from zero_tig_tpu.pipeline import (
+    init_train_state,
+    train_step,
+    train_step_spatial,
+)
+
+
+@pytest.mark.parametrize("bands,halo,h", [(2, 24, 128), (4, 24, 128)])
+def test_spatial_step_matches_monolithic(rng, bands, halo, h):
+    w = 64
+    cfg = Config(of_scale=2, raft_iters=2)
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+
+    frames = [
+        jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32) * 0.3)
+        for _ in range(2)
+    ]
+
+    state_m = init_train_state(cfg, net_vars, frames[0].shape)
+    state_s = init_train_state(cfg, net_vars, frames[0].shape)
+
+    for i, frame in enumerate(frames):
+        new = jnp.asarray(i == 0)
+        state_m, loss_m = train_step(
+            state_m, raft_vars, frame, new,
+            of_scale=2, raft_iters=2, bn_train=False,
+        )
+        state_s, loss_s = train_step_spatial(
+            state_s, raft_vars, frame, new,
+            bands=bands, halo=halo, of_scale=2, raft_iters=2,
+        )
+        assert float(loss_s) == pytest.approx(float(loss_m), rel=2e-5), i
+
+    for pm, ps in zip(
+        jax.tree_util.tree_leaves(state_m.params),
+        jax.tree_util.tree_leaves(state_s.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ps), np.asarray(pm), atol=2e-6, rtol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_s.carry["last_H3"]),
+        np.asarray(state_m.carry["last_H3"]),
+        atol=1e-6,
+    )
+
+
+def test_spatial_step_rejects_bn_train():
+    cfg = Config(of_scale=2, raft_iters=2)
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frame = jnp.zeros((1, 64, 64, 3))
+    state = init_train_state(cfg, net_vars, frame.shape)
+    with pytest.raises(ValueError, match="bn_train"):
+        train_step_spatial(
+            state, raft_vars, frame, jnp.asarray(True), bn_train=True,
+            of_scale=2, raft_iters=2,
+        )
+
+
+def test_train_cli_spatial_bands(tmp_path):
+    """--spatial_bands 2 through the train CLI produces the reference
+    artifact layout on the synthetic fixture."""
+    import glob
+    import os
+
+    from zero_tig_tpu.cli.train import run_training
+    from zero_tig_tpu.data import make_rlv_fixture
+
+    root = str(tmp_path / "rlv")
+    make_rlv_fixture(root, frames_per_scene=2, size=(64, 48))
+    cfg = Config(
+        lowlight_images_path=root, save=str(tmp_path / "exp"), dataset="RLV",
+        frame_width=64, frame_height=48, of_scale=2, raft_iters=2, epochs=1,
+        spatial_bands=2, spatial_halo=12,
+    )
+    run_dir = run_training(cfg)
+    assert glob.glob(os.path.join(run_dir, "model_epochs", "weights_0.*"))
+    with open(os.path.join(run_dir, "log.txt")) as f:
+        assert f.read().count("train-epoch 000 ") >= 4

@@ -26,6 +26,7 @@ from ..pipeline import (
     init_train_state,
     train_chunk,
     train_step,
+    train_step_spatial,
 )
 from .common import (
     count_parameters_in_mb,
@@ -100,6 +101,31 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         bn_train = (epoch == 0) if bn_schedule_faithful else True
         losses = []
         stream = device_prefetch(train_ds.iter_u8(), depth=config.prefetch_depth)
+        if config.spatial_bands > 1:
+            # per-band gradient accumulation: f32-faithful full-res training
+            # on one chip (pipeline.train_step_spatial; equivalence-tested).
+            # BatchNorm runs on running stats every epoch -- matches the
+            # reference for epochs >= 1 (train.py:115-138 quirk); logged as
+            # a deviation for epoch 0.
+            if epoch == 0 and bn_train:
+                log.warning(
+                    "spatial_bands>1: epoch 0 uses eval-mode BatchNorm "
+                    "(train-mode batch stats cannot be banded)"
+                )
+            for item in stream:
+                state, loss = train_step_spatial(
+                    state, raft_vars, item.image,
+                    jnp.asarray(item.is_new_seq),
+                    bands=config.spatial_bands, halo=config.spatial_halo,
+                    **step_kwargs,
+                )
+                losses.append(float(loss))
+                total_step += 1
+                log.info(
+                    "train-epoch %03d %03d %f", epoch, len(losses) - 1,
+                    losses[-1],
+                )
+            stream = ()  # frames consumed; fall through to the epoch tail
         # --chunk K runs K sequential frames as ONE lax.scan program
         # (pipeline.train_chunk, loop-equivalence tested); the trailing
         # partial group uses the per-frame step so no padding frame ever

@@ -56,6 +56,8 @@ class Config:
     mesh_spatial: int = 1  # spatial-sharding axis size
     prefetch_depth: int = 2  # host->device double buffering
     chunk: int = 1  # frames per lax.scan dispatch (train_chunk/predict_chunk)
+    spatial_bands: int = 1  # >1: per-band gradient accumulation (train_step_spatial)
+    spatial_halo: int = 32  # halo rows per band (grad receptive field ~24)
 
     @property
     def is_wb(self) -> bool:

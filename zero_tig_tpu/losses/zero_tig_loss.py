@@ -48,6 +48,49 @@ def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(a - b))
 
 
+class Region:
+    """Row-band ownership for spatially-split loss evaluation.
+
+    The tensors handed to the loss are row slices
+    [slice_start, slice_start + slice_h) of a full_h-row frame (band plus
+    halo); this object turns every full-frame mean into a masked SUM over
+    the OWNED absolute rows [own_start, own_end) divided by the FULL-frame
+    element count, so that summing the per-band losses (and gradients)
+    reproduces the monolithic value exactly. slice_start/own_* may be
+    traced scalars (one compiled band function serves every band);
+    full_h is static. Row bounds must be multiples of every map scale
+    (use multiples of 2 for the pair-downsampled maps).
+    """
+
+    def __init__(self, slice_start, own_start, own_end, full_h: int):
+        self.slice_start = slice_start
+        self.own_start = own_start
+        self.own_end = own_end
+        self.full_h = full_h
+
+    def row_mask(self, map_h: int, slice_h: int, absolute_cap=None):
+        """(map_h,) f32 mask of owned rows for a map whose slice height is
+        map_h (resolution scale inferred from slice_h). absolute_cap
+        optionally excludes absolute full-res-scale rows >= cap (shifted/
+        pair maps that drop trailing rows)."""
+        scale = max(slice_h // map_h, 1) if map_h else 1
+        rows = jax.lax.iota(jnp.int32, map_h) + self.slice_start // scale
+        m = (rows >= self.own_start // scale) & (rows < self.own_end // scale)
+        if absolute_cap is not None:
+            m = m & (rows < absolute_cap)
+        return m.astype(jnp.float32)
+
+
+def _mse_region(a, b, region: "Region | None", slice_h: int):
+    if region is None:
+        return _mse(a, b)
+    mask = region.row_mask(a.shape[1], slice_h)
+    sq = jnp.square(a - b) * mask[None, :, None, None]
+    scale = max(slice_h // a.shape[1], 1)
+    denom = a.shape[0] * (region.full_h // scale) * a.shape[2] * a.shape[3]
+    return jnp.sum(sq) / denom
+
+
 def _rgb2ycbcr_scrambled(x_nhwc: jax.Array) -> jax.Array:
     """The reference's rgb2yCbCr (loss.py:178-189), bug included.
 
@@ -74,12 +117,20 @@ def _shift_pair(x: jax.Array, dy: int, dx: int) -> tuple[jax.Array, jax.Array]:
     return x[:, y0a:y1a, x0a:x1a, :], x[:, y0b:y1b, x0b:x1b, :]
 
 
-def smooth_loss(input_rgb: jax.Array, output: jax.Array) -> jax.Array:
+def smooth_loss(
+    input_rgb: jax.Array,
+    output: jax.Array,
+    region: Region | None = None,
+) -> jax.Array:
     """Edge-aware bilateral smoothness of `output` w.r.t. yCbCr(input).
 
     Parity: SmoothLoss.forward (loss.py:192-311), sigma=10, p=1.
+    With `region`, each offset's mean becomes a masked sum over the owned
+    grad rows (grad row i pairs source rows (i+dy, i); ownership follows
+    row i) divided by the full-frame count.
     """
     ycc = _rgb2ycbcr_scrambled(input_rgb)
+    slice_h = input_rgb.shape[1]
     sigma_color = -1.0 / (2.0 * 10.0 * 10.0)
     total = jnp.zeros((), jnp.float32)
     for dy, dx in _SMOOTH_OFFSETS:
@@ -89,34 +140,49 @@ def smooth_loss(input_rgb: jax.Array, output: jax.Array) -> jax.Array:
         )
         oa, ob = _shift_pair(output, dy, dx)
         grad = wgt * jnp.sum(jnp.abs(oa - ob), axis=-1, keepdims=True)
-        total = total + 2.0 * jnp.mean(grad)  # each direction counted twice
+        if region is None:
+            term = jnp.mean(grad)
+        else:
+            # grad row i pairs source rows (i+dy, i); owned by row i, with
+            # absolute rows >= full_h - dy nonexistent in the full map
+            mask = region.row_mask(
+                grad.shape[1], slice_h, absolute_cap=region.full_h - dy
+            )
+            denom = (
+                grad.shape[0] * (region.full_h - dy)
+                * grad.shape[2] * grad.shape[3]
+            )
+            term = jnp.sum(grad * mask[None, :, None, None]) / denom
+        total = total + 2.0 * term  # each direction counted twice
     return total
 
 
-def tv_loss(x: jax.Array) -> jax.Array:
-    """Total variation. Parity: L_TV (loss.py:139-152), NHWC input."""
+def tv_loss(x: jax.Array, region: Region | None = None) -> jax.Array:
+    """Total variation. Parity: L_TV (loss.py:139-152), NHWC input.
+
+    With `region`, vertical pairs belong to their TOP row's owner and
+    counts are full-frame."""
     b, h, w, _ = x.shape
-    count_h = (h - 1) * w
-    count_w = h * (w - 1)
-    h_tv = jnp.sum(jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]))
-    w_tv = jnp.sum(jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]))
-    return 2.0 * (h_tv / count_h + w_tv / count_w) / b
+    dh = jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :])
+    dw = jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :])
+    if region is None:
+        count_h = (h - 1) * w
+        count_w = h * (w - 1)
+        return 2.0 * (jnp.sum(dh) / count_h + jnp.sum(dw) / count_w) / b
+    full = region.full_h
+    # vertical pair (i, i+1) belongs to its top row; the full map has no
+    # pair for the last row
+    mh = region.row_mask(dh.shape[1], h, absolute_cap=full - 1)
+    mw = region.row_mask(h, h)
+    h_tv = jnp.sum(dh * mh[None, :, None, None])
+    w_tv = jnp.sum(dw * mw[None, :, None, None])
+    return 2.0 * (h_tv / ((full - 1) * w) + w_tv / (full * (w - 1))) / b
 
 
-def zero_tig_loss(
-    frame: jax.Array, o: TrainOutputs, *, is_wb: bool = False
-) -> jax.Array:
-    """The full weighted objective. Parity: LossFunction.forward (loss.py:23-78).
-
-    frame: the raw (B, H, W, 3) input in [0, 1]. NOTE: the criterion receives
-    the RAW frame (+1e-9, loss.py:24-25), not the forward's +1e-4 copy --
-    train._loss passes the pre-eps input (model/model.py:205-212), so the
-    Res_1 targets are offset by 1e-4 from the forward's L11/L12. Preserved.
-    """
-    sg = jax.lax.stop_gradient
-    inp = frame + EPS  # loss.py:24-25 (1e-9 only)
-
-    L2d = sg(o.L2)
+def loss_factor(L2d: jax.Array, *, is_wb: bool = False) -> jax.Array:
+    """The adaptive enhancement factor (loss.py:26-38): a full-frame mean
+    of the DETACHED denoised input. Exposed separately so the spatial
+    gradient-accumulation step can compute it once on the full frame."""
     if is_wb:
         # adaptive white balance: per-channel factor (loss.py:26-29)
         mean_c = jnp.mean(L2d, axis=(1, 2), keepdims=True)
@@ -127,7 +193,39 @@ def zero_tig_loss(
         )
         mean_y = jnp.mean(luma, axis=(1, 2))[:, None, None, None]
         factor = 0.5 / (mean_y + EPS)
-    factor = jnp.clip(factor, 1.0, 25.0)
+    return jnp.clip(factor, 1.0, 25.0)
+
+
+def zero_tig_loss(
+    frame: jax.Array,
+    o: TrainOutputs,
+    *,
+    is_wb: bool = False,
+    region: Region | None = None,
+    factor: jax.Array | None = None,
+) -> jax.Array:
+    """The full weighted objective. Parity: LossFunction.forward (loss.py:23-78).
+
+    frame: the raw (B, H, W, 3) input in [0, 1]. NOTE: the criterion receives
+    the RAW frame (+1e-9, loss.py:24-25), not the forward's +1e-4 copy --
+    train._loss passes the pre-eps input (model/model.py:205-212), so the
+    Res_1 targets are offset by 1e-4 from the forward's L11/L12. Preserved.
+
+    region/factor: spatial-split mode (pipeline.train_step_spatial). All
+    tensors are row slices; every mean becomes an owned-rows sum over the
+    full-frame count, and the full-frame enhancement `factor` (the only
+    globally-reduced quantity, gradient-free) must be supplied. Summing the
+    per-band losses reproduces the monolithic loss exactly.
+    """
+    sg = jax.lax.stop_gradient
+    inp = frame + EPS  # loss.py:24-25 (1e-9 only)
+    slice_h = frame.shape[1]
+
+    L2d = sg(o.L2)
+    if factor is None:
+        factor = loss_factor(L2d, is_wb=is_wb)
+    elif region is None:
+        raise ValueError("factor override is for spatial-split mode")
     adjustment = jnp.power(0.7, -factor) / factor
 
     normalized_low = jnp.clip(L2d / o.s2, EPS, 0.8)
@@ -135,29 +233,32 @@ def zero_tig_loss(
     clamped_brightness = jnp.clip(enhanced_brightness * adjustment, EPS, 1.0)
     clamped_adjusted = jnp.clip(L2d * factor, EPS, 1.0)
 
+    def mse(a, b):
+        return _mse_region(a, b, region, slice_h)
+
     loss = jnp.zeros((), jnp.float32)
     # Enhance
-    loss += _mse(o.s2, clamped_brightness) * 700.0
-    loss += _mse(normalized_low, clamped_adjusted) * 1000.0
-    loss += smooth_loss(L2d, o.s2) * 5.0
-    loss += tv_loss(o.s2) * 1600.0
+    loss += mse(o.s2, clamped_brightness) * 700.0
+    loss += mse(normalized_low, clamped_adjusted) * 1000.0
+    loss += smooth_loss(L2d, o.s2, region) * 5.0
+    loss += tv_loss(o.s2, region) * 1600.0
     # Res_1 (N2N stage 1)
     L11, L12 = pair_downsampler(inp)
-    loss += _mse(L11, o.L_pred2) * 1000.0
-    loss += _mse(L12, o.L_pred1) * 1000.0
+    loss += mse(L11, o.L_pred2) * 1000.0
+    loss += mse(L12, o.L_pred1) * 1000.0
     denoised1, denoised2 = pair_downsampler(o.L2)
-    loss += _mse(o.L_pred1, denoised1) * 1000.0
-    loss += _mse(o.L_pred2, denoised2) * 1000.0
+    loss += mse(o.L_pred1, denoised1) * 1000.0
+    loss += mse(o.L_pred2, denoised2) * 1000.0
     # Res_2 (N2N stage 2)
-    loss += _mse(o.H3_pred, sg(jnp.concatenate([o.H12, o.s22], -1))) * 1000.0
-    loss += _mse(o.H4_pred, sg(jnp.concatenate([o.H11, o.s21], -1))) * 1000.0
+    loss += mse(o.H3_pred, sg(jnp.concatenate([o.H12, o.s22], -1))) * 1000.0
+    loss += mse(o.H4_pred, sg(jnp.concatenate([o.H11, o.s21], -1))) * 1000.0
     H3_denoised1, H3_denoised2 = pair_downsampler(o.H3)
-    loss += _mse(o.H3_pred[..., 0:3], H3_denoised1) * 1000.0
-    loss += _mse(o.H4_pred[..., 0:3], H3_denoised2) * 1000.0
+    loss += mse(o.H3_pred[..., 0:3], H3_denoised1) * 1000.0
+    loss += mse(o.H4_pred[..., 0:3], H3_denoised2) * 1000.0
     # Color
-    loss += _mse(sg(o.H2_blur), o.H3_blur) * 10000.0
+    loss += mse(sg(o.H2_blur), o.H3_blur) * 10000.0
     # Ill
-    loss += _mse(sg(o.s2), o.s3) * 1000.0
+    loss += mse(sg(o.s2), o.s3) * 1000.0
     # Inter (texture-gated local mean); weighted_diff2 reuses H3_denoised1
     # exactly as written in loss.py:71
     d = o.H3_denoised1_H3_denoised2_diff
@@ -165,10 +266,10 @@ def zero_tig_loss(
     lm2 = local_mean(H3_denoised2)
     weighted_diff1 = (1.0 - d) * lm1 + H3_denoised1 * d
     weighted_diff2 = (1.0 - d) * lm2 + H3_denoised1 * d
-    loss += _mse(H3_denoised1, weighted_diff1) * 10000.0
-    loss += _mse(H3_denoised2, weighted_diff2) * 10000.0
+    loss += mse(H3_denoised1, weighted_diff1) * 10000.0
+    loss += mse(H3_denoised2, weighted_diff2) * 10000.0
     # Var
     noise_var = calculate_local_variance(o.H3 - o.H2)
     h2_var = calculate_local_variance(o.H2)
-    loss += _mse(h2_var, noise_var) * 1000.0
+    loss += mse(h2_var, noise_var) * 1000.0
     return loss

@@ -179,6 +179,46 @@ def forward_train(
     batch-statistics BatchNorm; epochs >= 1 train against frozen running
     stats. Pass bn_train=(epoch == 0) for bug-faithful training.
     """
+    params = variables["params"]
+    sg = jax.lax.stop_gradient
+
+    inp = frame + EPS
+    L2_flow = jnp.clip(
+        inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
+    )
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"],
+        carry["last_s3"],
+        sg(L2_flow),
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    zero = jnp.zeros_like(L2_flow)
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    last_H3_wp = jnp.where(new_flag, zero, warped_H3)
+    last_s3_wp = jnp.where(new_flag, zero, warped_s3)
+    return forward_train_core(
+        variables, frame, last_H3_wp, last_s3_wp, bn_train=bn_train
+    )
+
+
+def forward_train_core(
+    variables: dict,
+    frame: jax.Array,
+    last_H3_wp: jax.Array,
+    last_s3_wp: jax.Array,
+    *,
+    bn_train: bool = True,
+) -> tuple[TrainOutputs, dict, dict]:
+    """Gradient-carrying part of the training forward, AFTER flow+warp.
+
+    Everything from here down is spatially local (conv stacks + pointwise
+    ops); the global pieces (RAFT, histogram equalize, warp) live in
+    forward_train/update_cache and run under stop_gradient. The spatial
+    gradient-accumulation step (pipeline.train_step_spatial) exploits this
+    split: flow+warp once on the full frame, then this core per row band.
+    """
     params, batch_stats = variables["params"], variables["batch_stats"]
     sg = jax.lax.stop_gradient
 
@@ -201,18 +241,6 @@ def forward_train(
     L_pred2 = L12 - d1(L12)
     L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
 
-    warped_H3, warped_s3 = update_cache(
-        raft_vars,
-        carry["last_H3"],
-        carry["last_s3"],
-        sg(L2),
-        of_scale=of_scale,
-        raft_iters=raft_iters,
-    )
-    zero = jnp.zeros_like(L2)
-    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
-    last_H3_wp = jnp.where(new_flag, zero, warped_H3)
-    last_s3_wp = jnp.where(new_flag, zero, warped_s3)
     last_H31_wp, last_H32_wp = pair_downsampler(last_H3_wp)
     last_s31_wp, last_s32_wp = pair_downsampler(last_s3_wp)
 

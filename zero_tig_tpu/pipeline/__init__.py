@@ -1,3 +1,4 @@
+from .spatial import train_step_spatial
 from .steps import (
     TrainState,
     predict_chunk,
@@ -18,4 +19,5 @@ __all__ = [
     "make_optimizer",
     "predict_step",
     "train_step",
+    "train_step_spatial",
 ]
