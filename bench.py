@@ -45,6 +45,9 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 
 
 def main() -> None:
+    from zero_tig_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from zero_tig_tpu.core import precision
     from zero_tig_tpu.models import (
         init_network_variables,

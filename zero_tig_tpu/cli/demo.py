@@ -23,6 +23,9 @@ from ..utils.flow_viz import flow_to_image
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser("RAFT demo")
     p.add_argument("--model", type=str, default=None, help="raft checkpoint")
     p.add_argument("--path", type=str, required=True, help="frame folder")

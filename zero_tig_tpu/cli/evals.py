@@ -129,6 +129,9 @@ def run_evals(
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("ZERO-IG")
     add_config_args(parser)
     parser.add_argument("--lpips_weights", type=str, default=None)

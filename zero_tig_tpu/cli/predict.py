@@ -90,6 +90,9 @@ def run_predict(config: Config) -> None:
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("ZERO-TIG")
     add_config_args(parser)
     config = config_from_args(parser.parse_args(argv))

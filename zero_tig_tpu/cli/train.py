@@ -219,6 +219,9 @@ def _dump_eval_images(config, state, raft_vars, test_ds, run_dir, epoch):
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("ZERO-TIG")
     add_config_args(parser)
     config = config_from_args(parser.parse_args(argv))
