@@ -41,7 +41,7 @@ PRECISION = os.environ.get("BENCH_PRECISION", "fast")
 # frames per lax.scan chunk: streaming video inference issues K frames per
 # dispatch (pipeline.predict_chunk), amortizing the per-call host/relay
 # latency exactly like production serving; every frame is fully computed.
-CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 
 
 def main() -> None:

@@ -166,11 +166,11 @@ def test_corr_pyramid_matches_torch_matmul(rng):
     ref = torch.matmul(t1.transpose(1, 2), t2) / np.sqrt(d)
     ref = ref.view(b * h * w, 1, h, w)
     np.testing.assert_allclose(
-        np.asarray(pyr.levels[0]).transpose(0, 3, 1, 2), ref.numpy(), atol=1e-4
+        np.asarray(pyr.levels[0])[:, None], ref.numpy(), atol=1e-4
     )
     ref1 = F.avg_pool2d(ref, 2, 2)
     np.testing.assert_allclose(
-        np.asarray(pyr.levels[1]).transpose(0, 3, 1, 2), ref1.numpy(), atol=1e-4
+        np.asarray(pyr.levels[1])[:, None], ref1.numpy(), atol=1e-4
     )
 
 
@@ -230,7 +230,7 @@ def test_lookup_corr_matches_naive_sampler(rng):
             cy[:, None, None] * sc + offs[None, None, :], (q, nwin, nwin)
         )
         naive.append(
-            np.asarray(grid_sample_pixel(corr_l, x, y)).reshape(b, h, w, -1)
+            np.asarray(grid_sample_pixel(corr_l[..., None], x, y)).reshape(b, h, w, -1)
         )
     out_naive = np.concatenate(naive, axis=-1)
     np.testing.assert_allclose(out_fast, out_naive, atol=1e-5)

@@ -22,16 +22,33 @@ import jax
 import jax.numpy as jnp
 
 from ...core.precision import conv_precision, get_mode
-from ...ops.filters import avg_pool2d
 
 
 class CorrPyramid(NamedTuple):
-    """Correlation pyramid: level i has shape (B*H1*W1, H2/2^i, W2/2^i, 1)."""
+    """Correlation pyramid: level i has shape (B*H1*W1, H2/2^i, W2/2^i).
+
+    Rank-3 on purpose: a trailing singleton channel would lane-pad 1->128
+    on TPU (the level-0 volume at the 1080p operating point would occupy
+    ~3.3 GB physical instead of ~26 MB and be re-read every refinement
+    iteration).
+    """
 
     levels: tuple[jax.Array, ...]
     batch: int
     h1: int
     w1: int
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 average over the last two dims of (Q, H, W); odd edge
+    rows/cols dropped (torch F.avg_pool2d floor semantics, corr.py:25)."""
+    he = (x.shape[1] // 2) * 2
+    we = (x.shape[2] // 2) * 2
+    x = x[:, :he, :we]
+    return 0.25 * (
+        x[:, 0::2, 0::2] + x[:, 1::2, 0::2]
+        + x[:, 0::2, 1::2] + x[:, 1::2, 1::2]
+    )
 
 
 def build_corr_pyramid(
@@ -48,14 +65,14 @@ def build_corr_pyramid(
         preferred_element_type=jnp.float32,
         precision=conv_precision(),
     ) / math.sqrt(d)
-    corr = corr.reshape(b * h * w, h, w, 1)
+    corr = corr.reshape(b * h * w, h, w)
     if get_mode() == "fast":
         # bf16 volume halves the lookup read traffic (the level-0 volume is
         # re-read by every refinement iteration); accumulation stays f32
         corr = corr.astype(jnp.bfloat16)
     levels = [corr]
     for _ in range(num_levels - 1):
-        corr = avg_pool2d(corr, 2, 2)
+        corr = _avg_pool2(corr)
         levels.append(corr)
     return CorrPyramid(tuple(levels), b, h, w)
 
@@ -94,7 +111,7 @@ def lookup_corr(pyramid: CorrPyramid, coords: jax.Array, radius: int = 4) -> jax
     out = []
     for i, corr_l in enumerate(pyramid.levels):
         h2, w2 = corr_l.shape[1], corr_l.shape[2]
-        field = corr_l[..., 0]  # (q, h2, w2)
+        field = corr_l  # (q, h2, w2)
         scale = 1.0 / (2**i)
         # sample positions (q, n)
         sx = cx[:, None] * scale + offs[None, :]
