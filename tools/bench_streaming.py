@@ -25,6 +25,7 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", "1080"))
 WIDTH = int(os.environ.get("BENCH_WIDTH", "1920"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
 PRECISION = os.environ.get("BENCH_PRECISION", "fast")
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 
 
 def main():
@@ -54,43 +55,68 @@ def main():
         paths.append(p)
     print(f"# wrote {FRAMES} frames {HEIGHT}x{WIDTH}", file=sys.stderr)
 
+    from zero_tig_tpu.data.prefetch import ChunkRecord, chunk_records
+    from zero_tig_tpu.pipeline import predict_chunk
+
     net_vars = init_network_variables(jax.random.PRNGKey(0))
     raft_vars = init_raft_variables(jax.random.PRNGKey(1))
     ds = FrameDataset(paths, size=(WIDTH, HEIGHT))
 
+    # host decode rate alone (the 1-core bound on this box)
+    t0 = time.time()
+    for rec in ds.iter_u8():
+        pass
+    decode_fps = FRAMES / (time.time() - t0)
+    print(f"# host decode alone: {decode_fps:.2f} fps", file=sys.stderr)
+
     carry = None
-    times = []
+    done = 0
     t_first = None
     t0 = time.time()
-    for i, rec in enumerate(device_prefetch(ds.iter_u8(), depth=3)):
-        if carry is None:
-            zeros = jnp.zeros_like(rec.image)
-            carry = {"last_H3": zeros, "last_s3": zeros}
+    stream = device_prefetch(ds.iter_u8(), depth=3)
+    for item in chunk_records(stream, CHUNK):
+        first = t_first is None
         t1 = time.time()
-        (H2, H3, s3), carry = predict_step(
-            net_vars, raft_vars, rec.image, carry,
-            jnp.asarray(rec.is_new_seq), of_scale=3, raft_iters=12,
-        )
-        float(jax.device_get(H3.ravel()[0]))  # full sync (axon platform)
-        if i == 0:
+        if isinstance(item, ChunkRecord):
+            if carry is None:
+                zeros = jnp.zeros_like(item.images[0])
+                carry = {"last_H3": zeros, "last_s3": zeros}
+            (H2s, H3s, _), carry = predict_chunk(
+                net_vars, raft_vars, item.images, carry, item.flags,
+                of_scale=3, raft_iters=12,
+            )
+            float(jnp.ravel(H3s)[0])  # scalar sync (axon platform)
+            n = len(item.records)
+        else:
+            if carry is None:
+                zeros = jnp.zeros_like(item.image)
+                carry = {"last_H3": zeros, "last_s3": zeros}
+            (H2, H3, s3), carry = predict_step(
+                net_vars, raft_vars, item.image, carry,
+                jnp.asarray(item.is_new_seq), of_scale=3, raft_iters=12,
+            )
+            float(jnp.ravel(H3)[0])
+            n = 1
+        if first:
             t_first = time.time() - t1
             t0 = time.time()
         else:
-            times.append(time.time() - t1)
+            done += n
     total = time.time() - t0
-    per = statistics.median(times)
+    fps = done / total
     print(
-        f"# first frame (compile): {t_first:.1f}s; steady-state median "
-        f"{per * 1e3:.1f} ms/frame; sustained {(FRAMES - 1) / total:.2f} fps "
-        f"(decode+H2D+compute overlapped, precision={PRECISION})",
+        f"# first chunk (compile): {t_first:.1f}s; sustained {fps:.2f} fps "
+        f"(decode+H2D+compute overlapped, chunk={CHUNK}, "
+        f"precision={PRECISION})",
         file=sys.stderr,
     )
     import json
 
     print(json.dumps({
         "metric": "1080p_streaming_end_to_end_frames_per_sec",
-        "value": round((FRAMES - 1) / total, 3),
+        "value": round(fps, 3),
         "unit": "frames/sec",
+        "host_decode_fps": round(decode_fps, 2),
     }))
 
 

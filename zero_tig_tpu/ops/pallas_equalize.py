@@ -16,7 +16,14 @@ VMEM-resident and streams it in (8, 128) chunks through registers:
 
 Grid: one program per (batch*channel). Channels are padded host-side to a
 multiple of 8*128 with the sentinel 256, which hits no bin and is cropped
-after the call. Bit-exact vs ops.equalize.equalize_uint8 (tested).
+after the call. Bit-exact vs ops.equalize.equalize_uint8 (tested, incl.
+compiled on a real v5e).
+
+Status: NOT wired into update_cache -- measured equal to the XLA one-hot
+path compiled on TPU (2.44 vs 2.51 ms at the 1/3-1080p operating point,
+round 2); the round-1 "~20 ms XLA" figure was a stale profile attribution.
+Kept as the reference VMEM-resident formulation (and the template for
+kernels this platform's remote Mosaic compiler accepts).
 """
 
 from __future__ import annotations
