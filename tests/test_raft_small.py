@@ -136,3 +136,15 @@ def test_small_raft_matches_reference_composition():
     fu_t = fu_t.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(fl_j), fl_t, atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(fu_j), fu_t, atol=2e-3, rtol=1e-3)
+
+
+def test_flowtools_benchmark_small_raft():
+    """The sidecar benchmark sweeps real multi-model paths (reference:
+    ptlflow_scripts/model_benchmark.py zoo sweep)."""
+    from zero_tig_tpu.flowtools import benchmark_model
+
+    r = benchmark_model("raft_small", height=48, width=64, num_samples=2,
+                        iters=2)
+    assert r["model"] == "raft_small"
+    assert r["time_ms_median"] > 0 and np.isfinite(r["time_ms_median"])
+    assert r["params"] > 0
