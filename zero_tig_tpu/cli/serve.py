@@ -1,0 +1,175 @@
+"""Streaming enhancement service: a resident process serving frame streams.
+
+The reference has no serving story -- every invocation pays model setup and
+(on this platform) compilation. This daemon productizes the worker pattern:
+load weights ONCE, compile ONCE (plus the persistent cache), then watch an
+inbox directory for frames and stream them through the fused step with
+per-scene recurrent carries, exactly like predict but incremental and
+restart-safe.
+
+Layout:
+    <inbox>/<scene...>/NNN.png        arriving low-light frames
+    <save>/<scene...>/NNN_denoise.png (H3) + NNN_enhance.png (H2)
+    <save>/manifest.jsonl             one line per processed frame
+
+Frames process in numeric order per scene directory; a gap in numbering
+starts a new sequence (the reference's sequential_judgment semantics). A
+frame is only consumed once its successor exists or the stream has been
+quiet for --serve_settle_sec (so partially-written files are never read).
+Already-produced outputs are skipped on restart (idempotent). The service
+exits when <inbox>/STOP exists or nothing new arrived for
+--serve_max_idle_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, add_config_args, config_from_args
+from ..data.datasets import extract_number, sort_files_by_name
+from ..pipeline import predict_step
+from .common import load_variables, setup_logging, write_png
+
+
+def _scan(inbox: str) -> dict[str, list[str]]:
+    """Scene dir -> numerically sorted frame paths."""
+    frames: dict[str, list[str]] = {}
+    for p in glob.glob(os.path.join(inbox, "**", "*.png"), recursive=True):
+        if os.path.basename(p) == "STOP":
+            continue
+        frames.setdefault(os.path.dirname(p), []).append(p)
+    return {d: sort_files_by_name(ps) for d, ps in frames.items()}
+
+
+def run_serve(
+    config: Config,
+    *,
+    poll_sec: float = 0.5,
+    settle_sec: float = 2.0,
+    max_idle_sec: float = 60.0,
+) -> int:
+    """Serve until STOP or idle timeout; returns frames processed."""
+    os.makedirs(config.save, exist_ok=True)
+    setup_logging(config.save)
+    log = logging.getLogger()
+
+    from ..core.precision import set_precision
+
+    set_precision(config.precision)
+    net_vars, raft_vars = load_variables(config)
+    log.info("serving %s -> %s", config.lowlight_images_path, config.save)
+
+    manifest_path = os.path.join(config.save, "manifest.jsonl")
+    done: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = {json.loads(line)["path"] for line in f if line.strip()}
+        log.info("resuming: %d frames already served", len(done))
+
+    carries: dict[str, dict] = {}
+    last_idx: dict[str, int] = {}
+    sk = dict(of_scale=config.of_scale, raft_iters=config.raft_iters)
+    processed = 0
+    last_activity = time.time()
+    inbox = config.lowlight_images_path
+
+    from PIL import Image
+
+    with open(manifest_path, "a") as manifest:
+        while True:
+            if os.path.exists(os.path.join(inbox, "STOP")):
+                log.info("STOP file found; exiting")
+                break
+            scenes = _scan(inbox)
+            acted = False
+            now = time.time()
+            for scene, paths in sorted(scenes.items()):
+                for i, p in enumerate(paths):
+                    if p in done:
+                        continue
+                    settled = (
+                        i + 1 < len(paths)
+                        or now - os.path.getmtime(p) >= settle_sec
+                    )
+                    if not settled:
+                        continue
+                    with Image.open(p) as im:
+                        im = im.convert("RGB")
+                        size = (config.frame_width, config.frame_height)
+                        if im.size != size:
+                            im = im.resize(size, Image.Resampling.BICUBIC)
+                        arr = np.asarray(im, np.float32) / 255.0
+                    frame = jnp.asarray(arr[None])
+                    idx = extract_number(p)
+                    is_new = (
+                        scene not in carries
+                        or idx != last_idx.get(scene, -2) + 1
+                    )
+                    if scene not in carries:
+                        zeros = jnp.zeros_like(frame)
+                        carries[scene] = {"last_H3": zeros, "last_s3": zeros}
+                    (H2, H3, _s3), carries[scene] = predict_step(
+                        net_vars, raft_vars, frame, carries[scene],
+                        jnp.asarray(is_new), **sk,
+                    )
+                    last_idx[scene] = idx
+                    rel = os.path.relpath(p, inbox)
+                    out_dir = os.path.join(config.save, os.path.dirname(rel))
+                    os.makedirs(out_dir, exist_ok=True)
+                    stem = os.path.splitext(os.path.basename(p))[0]
+                    write_png(
+                        os.path.join(out_dir, stem + "_denoise.png"),
+                        np.asarray(H3)[0],
+                    )
+                    write_png(
+                        os.path.join(out_dir, stem + "_enhance.png"),
+                        np.asarray(H2)[0],
+                    )
+                    manifest.write(json.dumps({
+                        "path": p, "scene": scene, "index": idx,
+                        "new_seq": bool(is_new), "t": time.time(),
+                    }) + "\n")
+                    manifest.flush()
+                    done.add(p)
+                    processed += 1
+                    acted = True
+                    log.info("served %s (new_seq=%s)", rel, is_new)
+            if acted:
+                last_activity = time.time()
+            elif time.time() - last_activity > max_idle_sec:
+                log.info("idle %.0fs; exiting", max_idle_sec)
+                break
+            else:
+                time.sleep(poll_sec)
+    return processed
+
+
+def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    parser = argparse.ArgumentParser("ZERO-TIG-serve")
+    add_config_args(parser)
+    parser.add_argument("--serve_poll_sec", type=float, default=0.5)
+    parser.add_argument("--serve_settle_sec", type=float, default=2.0)
+    parser.add_argument("--serve_max_idle_sec", type=float, default=60.0)
+    args = parser.parse_args(argv)
+    config = config_from_args(args)
+    run_serve(
+        config,
+        poll_sec=args.serve_poll_sec,
+        settle_sec=args.serve_settle_sec,
+        max_idle_sec=args.serve_max_idle_sec,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,10 @@ entirely; here it removes the compile while the experimental relay's load
 variance persists (out of our control).
 
 Every CLI enables the cache by default; ZERO_TIG_COMPILE_CACHE=off
-disables, or set it to a directory path to relocate.
+disables, or set it to a directory path to relocate. Note: on CPU, cached
+AOT executables log a machine-feature-mismatch warning when the cache dir
+moves between heterogeneous hosts (XLA falls back safely); keep the cache
+host-local.
 """
 
 from __future__ import annotations
