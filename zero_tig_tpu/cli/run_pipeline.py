@@ -46,6 +46,7 @@ def run_dataset(
     raft_weights: str | None = None,
     save_root: str = "./EXP",
     lpips_weights: str | None = None,
+    **config_overrides,
 ) -> dict | None:
     data_dir = os.path.join(base_data_dir, dataset)
     cfg = Config(
@@ -55,6 +56,7 @@ def run_dataset(
         model_pretrain=model_pretrain,
         raft_weights=raft_weights,
         save=os.path.join(save_root, dataset),
+        **config_overrides,
     )
     run_dir = run_training(cfg)
 
@@ -65,6 +67,7 @@ def run_dataset(
         model_pretrain=weights,
         raft_weights=raft_weights,
         save=os.path.join(run_dir, "results"),
+        **config_overrides,
     )
     return run_evals(eval_cfg, lpips_weights=lpips_weights)
 
