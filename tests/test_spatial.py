@@ -47,7 +47,10 @@ def test_spatial_step_matches_monolithic(rng, bands, halo, h):
             state_s, raft_vars, frame, new,
             bands=bands, halo=halo, of_scale=2, raft_iters=2,
         )
-        assert float(loss_s) == pytest.approx(float(loss_m), rel=2e-5), i
+        # rel tightened 2e-5 -> 3e-6 after the full-frame-phase ycc fix
+        # (the scrambled smooth term previously differed ~3e-5 when
+        # W*(full_h-slice_h) % 3 != 0, as this w=64 geometry does)
+        assert float(loss_s) == pytest.approx(float(loss_m), rel=3e-6), i
 
     for pm, ps in zip(
         jax.tree_util.tree_leaves(state_m.params),

@@ -121,6 +121,7 @@ def smooth_loss(
     input_rgb: jax.Array,
     output: jax.Array,
     region: Region | None = None,
+    ycc: jax.Array | None = None,
 ) -> jax.Array:
     """Edge-aware bilateral smoothness of `output` w.r.t. yCbCr(input).
 
@@ -128,8 +129,22 @@ def smooth_loss(
     With `region`, each offset's mean becomes a masked sum over the owned
     grad rows (grad row i pairs source rows (i+dy, i); ownership follows
     row i) divided by the full-frame count.
+
+    ycc: precomputed scrambled-yCbCr of the FULL-frame input, sliced to this
+    band. Required in region mode: the scrambled transform's triplet
+    grouping runs over the flattened (C, H, W) buffer, so a slice-local
+    recomputation has the wrong phase whenever W*(full_h - slice_h) % 3 != 0
+    and mixes different pixels at the slice's plane boundaries. The weights
+    are gradient-free (input is the detached L2), so the caller computes
+    ycc once full-frame (pipeline.spatial._flow_phase) and slices it.
     """
-    ycc = _rgb2ycbcr_scrambled(input_rgb)
+    if region is not None and ycc is None:
+        raise ValueError(
+            "region mode requires the full-frame-phased ycc (slice-local "
+            "recomputation scrambles with the wrong triplet phase)"
+        )
+    if ycc is None:
+        ycc = _rgb2ycbcr_scrambled(input_rgb)
     slice_h = input_rgb.shape[1]
     sigma_color = -1.0 / (2.0 * 10.0 * 10.0)
     total = jnp.zeros((), jnp.float32)
@@ -203,6 +218,7 @@ def zero_tig_loss(
     is_wb: bool = False,
     region: Region | None = None,
     factor: jax.Array | None = None,
+    ycc: jax.Array | None = None,
 ) -> jax.Array:
     """The full weighted objective. Parity: LossFunction.forward (loss.py:23-78).
 
@@ -211,10 +227,11 @@ def zero_tig_loss(
     train._loss passes the pre-eps input (model/model.py:205-212), so the
     Res_1 targets are offset by 1e-4 from the forward's L11/L12. Preserved.
 
-    region/factor: spatial-split mode (pipeline.train_step_spatial). All
+    region/factor/ycc: spatial-split mode (pipeline.train_step_spatial). All
     tensors are row slices; every mean becomes an owned-rows sum over the
-    full-frame count, and the full-frame enhancement `factor` (the only
-    globally-reduced quantity, gradient-free) must be supplied. Summing the
+    full-frame count, and the two full-frame gradient-free quantities -- the
+    enhancement `factor` and the scrambled-yCbCr `ycc` of the detached L2
+    (see smooth_loss) -- must be supplied as band slices. Summing the
     per-band losses reproduces the monolithic loss exactly.
     """
     sg = jax.lax.stop_gradient
@@ -240,7 +257,7 @@ def zero_tig_loss(
     # Enhance
     loss += mse(o.s2, clamped_brightness) * 700.0
     loss += mse(normalized_low, clamped_adjusted) * 1000.0
-    loss += smooth_loss(L2d, o.s2, region) * 5.0
+    loss += smooth_loss(L2d, o.s2, region, ycc=ycc) * 5.0
     loss += tv_loss(o.s2, region) * 1600.0
     # Res_1 (N2N stage 1)
     L11, L12 = pair_downsampler(inp)

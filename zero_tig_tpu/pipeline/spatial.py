@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import Config
-from ..losses.zero_tig_loss import Region, loss_factor, zero_tig_loss
+from ..losses.zero_tig_loss import (
+    Region,
+    _rgb2ycbcr_scrambled,
+    loss_factor,
+    zero_tig_loss,
+)
 from ..models.network import (
     DENOISE_1,
     EPS as NET_EPS,
@@ -64,7 +69,9 @@ def _flow_phase(
     is_wb: bool,
 ):
     """Full-frame gradient-free phase: denoised input -> flow -> warp,
-    plus the loss's global enhancement factor."""
+    plus the loss's two global gradient-free quantities: the enhancement
+    factor and the scrambled-yCbCr of the detached L2 (the smooth-loss
+    weights; full-frame phase, see losses.smooth_loss)."""
     sg = jax.lax.stop_gradient
     inp = frame + NET_EPS
     L2 = jnp.clip(
@@ -80,7 +87,7 @@ def _flow_phase(
     flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))
     wH3 = jnp.where(flag, zero, warped_H3)
     ws3 = jnp.where(flag, zero, warped_s3)
-    return wH3, ws3, loss_factor(L2, is_wb=is_wb)
+    return wH3, ws3, loss_factor(L2, is_wb=is_wb), _rgb2ycbcr_scrambled(L2)
 
 
 @functools.partial(
@@ -94,6 +101,7 @@ def _band_grad(
     wH3: jax.Array,
     ws3: jax.Array,
     factor: jax.Array,
+    ycc: jax.Array,
     slice_start: jax.Array,
     own_start: jax.Array,
     own_end: jax.Array,
@@ -108,7 +116,7 @@ def _band_grad(
         jax.lax.dynamic_slice_in_dim, start_index=slice_start,
         slice_size=slice_h, axis=1,
     )
-    frame_sl, wH3_sl, ws3_sl = sl(frame), sl(wH3), sl(ws3)
+    frame_sl, wH3_sl, ws3_sl, ycc_sl = sl(frame), sl(wH3), sl(ws3), sl(ycc)
 
     def loss_fn(p):
         outputs, _, _ = forward_train_core(
@@ -117,7 +125,8 @@ def _band_grad(
         )
         region = Region(slice_start, own_start, own_end, full_h)
         loss = zero_tig_loss(
-            frame_sl, outputs, is_wb=is_wb, region=region, factor=factor
+            frame_sl, outputs, is_wb=is_wb, region=region, factor=factor,
+            ycc=ycc_sl,
         )
         return loss, outputs
 
@@ -177,7 +186,7 @@ def train_step_spatial(
         raise ValueError("band height and halo must be even (pair maps)")
     slice_h = min(band_h + 2 * halo, h)
 
-    wH3, ws3, factor = _flow_phase(
+    wH3, ws3, factor, ycc = _flow_phase(
         state.params, raft_vars, frame, state.carry, is_new_seq,
         of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
     )
@@ -189,7 +198,7 @@ def train_step_spatial(
         own_start = b_i * band_h
         slice_start = min(max(own_start - halo, 0), h - slice_h)
         loss, grads, H3_b, s3_b = _band_grad(
-            state.params, state.batch_stats, frame, wH3, ws3, factor,
+            state.params, state.batch_stats, frame, wH3, ws3, factor, ycc,
             jnp.asarray(slice_start), jnp.asarray(own_start),
             jnp.asarray(own_start + band_h),
             slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
