@@ -19,6 +19,7 @@ from jax import lax
 
 _MODE = "highest"
 _REMAT = True
+_PACK_CONV = False
 
 
 def set_precision(mode: str) -> None:
@@ -43,6 +44,23 @@ def get_remat() -> bool:
 
 def get_mode() -> str:
     return _MODE
+
+
+def set_pack_conv(enabled: bool) -> None:
+    """EXPERIMENTAL: packed-pair Pallas conv stacks on the fast inference
+    path (ops/pack_conv.py). The kernels themselves are ~6x XLA's conv
+    layer rate at 1080p (1.38 vs 8.3 ms/layer, measured), but end-to-end
+    the path currently LOSES (93-130 vs 72 ms/frame): every kernel
+    boundary materializes a lane-padded (N, 2C<=24) operand that XLA's
+    fused conv graph never writes to HBM. Default OFF until the glue is
+    fused into the kernels (multi-input conv kernels). Read at trace time;
+    only consulted when the mode is 'fast'."""
+    global _PACK_CONV
+    _PACK_CONV = bool(enabled)
+
+
+def get_pack_conv() -> bool:
+    return _PACK_CONV
 
 
 def conv_precision() -> lax.Precision:

@@ -328,17 +328,39 @@ def forward_inference(
     # elementwise materialization costs ~42x its logical bytes; bf16 halves
     # that and matches the convs' compute dtype. Outputs/carry are cast
     # back to f32 (external contract; scan carry dtype stability).
-    from ..core.precision import get_mode
+    from ..core.precision import get_mode, get_pack_conv
 
-    cdt = jnp.bfloat16 if get_mode() == "fast" else frame.dtype
+    fast = get_mode() == "fast"
+    h, w = frame.shape[1], frame.shape[2]
+    if (
+        fast
+        and get_pack_conv()
+        and frame.shape[0] == 1
+        and h % 2 == 0
+        and w % 2 == 0
+    ):
+        # fully packed-pair fast path: conv stacks AND their glue stay in
+        # the (N, 2C) layout (models/fastpath.py, ops/pack_conv.py)
+        return _forward_inference_packed(
+            variables, raft_vars, frame, carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters,
+        )
+
+    d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
+    d2 = lambda x: DENOISE_2.apply({"params": params["denoise_2"]}, x)
+    enh = lambda x: ENHANCER.apply(
+        {"params": params["enhance"], "batch_stats": batch_stats["enhance"]},
+        x,
+        use_running_average=True,
+    )
+
+    cdt = jnp.bfloat16 if fast else frame.dtype
     inp = (frame + EPS).astype(cdt)
     carry = {
         "last_H3": carry["last_H3"].astype(cdt),
         "last_s3": carry["last_s3"].astype(cdt),
     }
-    L2 = jnp.clip(
-        inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
-    )
+    L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
 
     warped_H3, warped_s3 = update_cache(
         raft_vars,
@@ -353,11 +375,7 @@ def forward_inference(
     last_H3_wp = jnp.where(new_flag, zero, warped_H3)
     last_s3_wp = jnp.where(new_flag, zero, warped_s3)
 
-    s2 = ENHANCER.apply(
-        {"params": params["enhance"], "batch_stats": batch_stats["enhance"]},
-        jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1),
-        use_running_average=True,
-    )
+    s2 = enh(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
     H2 = jnp.clip(inp / s2, EPS, 1.0)
 
     last_H3_wp = jnp.where(new_flag, H2, last_H3_wp)
@@ -365,10 +383,7 @@ def forward_inference(
 
     H5_pred = jnp.clip(
         jnp.concatenate([H2, s2], -1)
-        - DENOISE_2.apply(
-            {"params": params["denoise_2"]},
-            jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1),
-        ),
+        - d2(jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1)),
         EPS,
         1.0,
     )
@@ -376,5 +391,91 @@ def forward_inference(
     H2 = H2.astype(jnp.float32)
     H3 = H3.astype(jnp.float32)
     s3 = s3.astype(jnp.float32)
+    new_carry = {"last_H3": H3, "last_s3": s3}
+    return (H2, H3, s3), new_carry
+
+
+def _forward_inference_packed(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int,
+    raft_iters: int,
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
+    """forward_inference on the packed-pair layout (fast mode, B=1).
+
+    Same math/detach/quirk structure as forward_inference (Parity:
+    Finetunemodel.forward, model/model.py:312-340) with the conv stacks AND
+    all inter-stack glue in the (N, 2C) packed layout: NHWC appears only at
+    the frame input, the flow/warp branch (spatial gathers), and the three
+    outputs. Channel-pair interleaving for the concatenated conv inputs is
+    pure lane slicing. Ring invariant: every packed intermediate keeps a
+    zeroed pad ring (chained conv zero-padding); the H2 division guards
+    0/0 on the ring with a where.
+    """
+    from ..ops import pack_conv as pcv
+    from .fastpath import (
+        denoise1_L2_packed,
+        denoise2_H5_packed,
+        enhancer_packed,
+    )
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    h, w = frame.shape[1], frame.shape[2]
+
+    inp_p = pcv.pack((frame + EPS).astype(jnp.bfloat16))
+    L2_p = denoise1_L2_packed(params["denoise_1"], inp_p, h, w)
+    L2 = pcv.unpack(L2_p, h, w)
+
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"].astype(jnp.bfloat16),
+        carry["last_s3"].astype(jnp.bfloat16),
+        L2,
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    w_p = pcv.pack(
+        jnp.concatenate([warped_H3, warped_s3], axis=-1).astype(jnp.bfloat16)
+    )  # (N, 12): [p0 (H3wp, s3wp) | p1 (H3wp, s3wp)]
+    flag = jnp.reshape(is_new_seq, ())
+    w_p = jnp.where(flag, jnp.zeros_like(w_p), w_p)
+
+    enh_in_p = jnp.concatenate(
+        [w_p[:, :6], L2_p[:, :3], w_p[:, 6:], L2_p[:, 3:]], axis=1
+    )  # (N, 18): 9ch per pixel in reference channel order
+    s2_p = enhancer_packed(
+        params["enhance"], batch_stats["enhance"], enh_in_p, h, w
+    )
+    # H2 = clamp(input/s2); s2's ring is 0 -> guard 0/0 so the ring stays 0
+    H2_p = jnp.where(
+        s2_p > 0, jnp.clip(inp_p / s2_p, EPS, 1.0), jnp.bfloat16(0)
+    )
+
+    # new-sequence quirk (model/model.py:330-332): warped prev := H2
+    h2_sub = jnp.concatenate(
+        [H2_p[:, :3], H2_p[:, :3], H2_p[:, 3:], H2_p[:, 3:]], axis=1
+    )
+    w_p = jnp.where(flag, h2_sub, w_p)
+
+    d2_in_p = jnp.concatenate(
+        [w_p[:, :6], H2_p[:, :3], s2_p[:, :3],
+         w_p[:, 6:], H2_p[:, 3:], s2_p[:, 3:]], axis=1,
+    )  # (N, 24): 12ch per pixel
+    anchor_p = jnp.concatenate(
+        [H2_p[:, :3], s2_p[:, :3], H2_p[:, 3:], s2_p[:, 3:]], axis=1
+    )  # (N, 12): cat([H2, s2])
+    H5_p = denoise2_H5_packed(
+        params["denoise_2"], d2_in_p, anchor_p, h, w
+    )
+
+    H3_p = jnp.concatenate([H5_p[:, 0:3], H5_p[:, 6:9]], axis=1)
+    s3_p = jnp.concatenate([H5_p[:, 3:6], H5_p[:, 9:12]], axis=1)
+    H2 = pcv.unpack(H2_p, h, w).astype(jnp.float32)
+    H3 = pcv.unpack(H3_p, h, w).astype(jnp.float32)
+    s3 = pcv.unpack(s3_p, h, w).astype(jnp.float32)
     new_carry = {"last_H3": H3, "last_s3": s3}
     return (H2, H3, s3), new_carry
