@@ -113,7 +113,10 @@ def test_block_gather_matches_quad_on_smooth_maps(rng):
     out_q = np.asarray(
         grid_sample_pixel_quad(img.astype(jnp.bfloat16), px, py)
     )
-    np.testing.assert_allclose(out_b, out_q, atol=1e-5)
+    # atol 4e-3: the block path extracts with bf16 hat weights (round-3
+    # perf change, ~0.4% relative weight rounding); structure still matches
+    # the exact quad path everywhere the footprint bound holds
+    np.testing.assert_allclose(out_b, out_q, atol=4e-3)
 
 
 def test_block_gather_fully_oob_is_zero(rng):

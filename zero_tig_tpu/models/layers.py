@@ -67,7 +67,9 @@ class Conv(nn.Module):
         cdt = jnp.bfloat16 if get_mode() == "fast" else x.dtype
         # bf16 in/out: the MXU accumulates f32 internally either way; an f32
         # preferred_element_type with bf16 operands breaks the conv
-        # transpose rule (mixed-dtype args in the backward)
+        # transpose rule (mixed-dtype args in the backward).
+        # (A dot_general lowering for the 1x1 convs was measured SLOWER
+        # end-to-end than XLA's conv at 1080p: 69.1 vs 67.6 ms/frame.)
         out = jax.lax.conv_general_dilated(
             x.astype(cdt),
             w.astype(cdt),

@@ -133,27 +133,28 @@ def grid_sample_pixel_quad(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Ar
     )
 
 
-_PATCHIFY_KERNELS: dict = {}
+def _patchify(img: jax.Array) -> jax.Array:
+    """(B, H, W, C<=8) -> (B, H+2, W+2, 128) where output channel
+    (r*4+cc)*8+ch holds input channel ch of spatial tap (r, cc) of the 4x4
+    patch whose top-left source pixel is (u-1, v-1).
 
-
-def _patchify_kernel(c: int) -> jax.Array:
-    """(4, 4, c, 128) one-hot conv kernel: output channel (r*4+cc)*8+ch
-    copies input channel ch of spatial tap (r, cc). Stride-1 'patchify'
-    conv -- the cheap way to materialize every 4x4xC source patch as one
-    128-lane row for the block gather (XLA convs handle small-C inputs
-    natively; hand-built shifted concats cost 10x in relayouts)."""
-    if c not in _PATCHIFY_KERNELS:
-        import numpy as np
-
-        k = np.zeros((4, 4, c, 128), np.float32)
-        for r in range(4):
-            for cc in range(4):
-                for ch in range(c):
-                    k[r, cc, ch, (r * 4 + cc) * 8 + ch] = 1.0
-        # cache host-side only: a jnp array created inside a trace would
-        # leak a tracer into later traces
-        _PATCHIFY_KERNELS[c] = k
-    return jnp.asarray(_PATCHIFY_KERNELS[c], jnp.bfloat16)
+    Sixteen shifted slices of the zero-padded, channel-padded image,
+    concatenated along lanes: XLA fuses this into ONE pass over the image.
+    Round 2 built the same operand with a one-hot (4,4,C,128) conv on the
+    theory that hand-built shifted concats relayout badly; round-3
+    profiling showed the conv itself ran at 23.4 ms/frame at 1080p (the
+    single largest op in the pipeline) while this concat measures ~2 ms.
+    """
+    b, h, w, c = img.shape
+    impad = jnp.pad(
+        img.astype(jnp.bfloat16), ((0, 0), (1, 4), (1, 4), (0, 8 - c))
+    )
+    parts = [
+        impad[:, r : r + h + 2, cc : cc + w + 2, :]
+        for r in range(4)
+        for cc in range(4)
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -179,11 +180,8 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     x, y: (B, H, W) pixel coordinates. Returns (B, H, W, C) float32.
     """
     b, h, w, c = img.shape
-    impad = jnp.pad(img.astype(jnp.bfloat16), ((0, 0), (1, 4), (1, 4), (0, 0)))
-    patches = jax.lax.conv_general_dilated(
-        impad, _patchify_kernel(c), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (b, h+2, w+2, 128); [u, v] = 4x4 patch with top-left source (u-1, v-1)
+    patches = _patchify(img)
+    # (b, h+2, w+2, 128); [u, v] = 4x4 patch with top-left source (u-1, v-1)
 
     hb, wb = h // 2, w // 2
     x = x.astype(jnp.float32)
@@ -214,10 +212,15 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     r4 = jnp.arange(4, dtype=jnp.float32)
     hy = jnp.clip(1.0 - jnp.abs(ty[..., None] - r4), 0.0, 1.0)
     hx = jnp.clip(1.0 - jnp.abs(tx[..., None] - r4), 0.0, 1.0)
+    # bf16 hat weights: skips the f32 materialization of the (B,H,W,128)
+    # patch operand (~1 GB at 1080p); weight rounding is ~0.4% relative,
+    # measured against reference warps by the fast-mode quality gate
     wgt = (hy[..., :, None] * hx[..., None, :]).reshape(b, h, w, 16)
     return jnp.einsum(
-        "bhwk,bhwkc->bhwc", wgt,
-        G2x.reshape(b, h, w, 16, 8)[..., :c].astype(jnp.float32),
+        "bhwk,bhwkc->bhwc",
+        wgt.astype(jnp.bfloat16),
+        G2x.reshape(b, h, w, 16, 8)[..., :c],
+        preferred_element_type=jnp.float32,
     )
 
 
