@@ -22,8 +22,16 @@ from zero_tig_tpu.pipeline import (
 )
 
 
-@pytest.mark.parametrize("bands,halo,h", [(2, 24, 128), (4, 24, 128)])
-def test_spatial_step_matches_monolithic(rng, bands, halo, h):
+@pytest.mark.parametrize(
+    "bands,halo,h,bn_train",
+    [(2, 24, 128, False), (4, 24, 128, False), (2, 24, 128, True)],
+)
+def test_spatial_step_matches_monolithic(rng, bands, halo, h, bn_train):
+    """bn_train=True exercises the exact two-pass banded BatchNorm (the
+    reference's epoch-0 schedule): full-frame batch stats from banded
+    sums, stats-as-inputs band grads, and the back-substituted
+    stats->params chain adjoints. Same losses, params, running stats, and
+    carry as the monolithic step."""
     w = 64
     cfg = Config(of_scale=2, raft_iters=2)
     net_vars = init_network_variables(jax.random.PRNGKey(0))
@@ -37,46 +45,91 @@ def test_spatial_step_matches_monolithic(rng, bands, halo, h):
     state_m = init_train_state(cfg, net_vars, frames[0].shape)
     state_s = init_train_state(cfg, net_vars, frames[0].shape)
 
+    if bn_train:
+        # sharp signal: banded GRADIENTS == monolithic jax.grad (post-Adam
+        # parameters amplify f32 noise on near-zero-grad channels into
+        # +/-lr-sized update differences, so they are compared loosely)
+        from zero_tig_tpu.losses.zero_tig_loss import zero_tig_loss
+        from zero_tig_tpu.models.network import forward_train
+        from zero_tig_tpu.pipeline.spatial import spatial_loss_and_grads
+
+        frame0 = frames[0]
+        carry0 = dict(state_m.carry)
+
+        def mono_loss(p):
+            outputs, _, _ = forward_train(
+                {"params": p, "batch_stats": state_m.batch_stats},
+                raft_vars, frame0, carry0, jnp.asarray(True),
+                of_scale=2, raft_iters=2, bn_train=True,
+            )
+            return zero_tig_loss(frame0, outputs)
+
+        g_mono = jax.grad(mono_loss)(state_m.params)
+        _, g_band, _, _ = spatial_loss_and_grads(
+            state_s, raft_vars, frame0, jnp.asarray(True),
+            bands=bands, halo=halo, of_scale=2, raft_iters=2, bn_train=True,
+        )
+        for (path, gm), (_, gb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_mono)[0],
+            jax.tree_util.tree_flatten_with_path(g_band)[0],
+        ):
+            key = jax.tree_util.keystr(path)
+            if key == "['enhance']['block']['conv']['bias']":
+                # analytically ZERO under train-mode BN (the batch mean
+                # absorbs a bias shift, (x - mean) is invariant); both
+                # methods produce only f32 cancellation noise here
+                assert np.abs(np.asarray(gm)).max() < 1e-2, key
+                assert np.abs(np.asarray(gb)).max() < 1e-2, key
+                continue
+            scale = max(float(np.abs(np.asarray(gm)).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(gb), np.asarray(gm), atol=2e-5 * scale,
+                rtol=1e-4,
+                err_msg=key,
+            )
+
     for i, frame in enumerate(frames):
         new = jnp.asarray(i == 0)
         state_m, loss_m = train_step(
             state_m, raft_vars, frame, new,
-            of_scale=2, raft_iters=2, bn_train=False,
+            of_scale=2, raft_iters=2, bn_train=bn_train,
         )
         state_s, loss_s = train_step_spatial(
             state_s, raft_vars, frame, new,
             bands=bands, halo=halo, of_scale=2, raft_iters=2,
+            bn_train=bn_train,
         )
         # rel tightened 2e-5 -> 3e-6 after the full-frame-phase ycc fix
         # (the scrambled smooth term previously differed ~3e-5 when
         # W*(full_h-slice_h) % 3 != 0, as this w=64 geometry does)
         assert float(loss_s) == pytest.approx(float(loss_m), rel=3e-6), i
 
+    # bn_train=True: near-zero-grad channels take +/-lr Adam updates whose
+    # sign follows f32 summation noise -> looser param tolerance there
+    p_atol = 5e-4 if bn_train else 2e-6
     for pm, ps in zip(
         jax.tree_util.tree_leaves(state_m.params),
         jax.tree_util.tree_leaves(state_s.params),
     ):
         np.testing.assert_allclose(
-            np.asarray(ps), np.asarray(pm), atol=2e-6, rtol=1e-4
+            np.asarray(ps), np.asarray(pm), atol=p_atol, rtol=1e-4
+        )
+    # bn_train=True: step-2 batch stats inherit the +/-lr Adam-noise param
+    # drift from step 1 (the per-frame stats machinery itself agrees to
+    # ~1e-7; verified directly above via the gradient comparison)
+    s_atol, s_rtol = (2e-4, 5e-3) if bn_train else (1e-6, 1e-5)
+    for sm, ss in zip(
+        jax.tree_util.tree_leaves(state_m.batch_stats),
+        jax.tree_util.tree_leaves(state_s.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ss), np.asarray(sm), atol=s_atol, rtol=s_rtol
         )
     np.testing.assert_allclose(
         np.asarray(state_s.carry["last_H3"]),
         np.asarray(state_m.carry["last_H3"]),
-        atol=1e-6,
+        atol=2e-5 if bn_train else 1e-6,  # step-2 carry inherits param drift
     )
-
-
-def test_spatial_step_rejects_bn_train():
-    cfg = Config(of_scale=2, raft_iters=2)
-    net_vars = init_network_variables(jax.random.PRNGKey(0))
-    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
-    frame = jnp.zeros((1, 64, 64, 3))
-    state = init_train_state(cfg, net_vars, frame.shape)
-    with pytest.raises(ValueError, match="bn_train"):
-        train_step_spatial(
-            state, raft_vars, frame, jnp.asarray(True), bn_train=True,
-            of_scale=2, raft_iters=2,
-        )
 
 
 def test_train_cli_spatial_bands(tmp_path):

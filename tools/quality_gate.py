@@ -10,8 +10,16 @@ the fixture's test split with the temporal recurrence active, reporting:
 
 Gate (documented in BASELINE.md): the headline bench runs precision=fast
 iff trained-weights mode-vs-mode PSNR >= 40 dB AND the GT-metric deltas
-are below 0.05 dB PSNR / 0.001 SSIM. Otherwise the headline must fall back
-to 'highest'.
+are below 0.05 dB PSNR / 0.001 SSIM AND the worst 32x32-block
+mode-vs-mode PSNR stays >= 30 dB (localized artifacts -- e.g. the
+block-gather warp clamping at flow discontinuities -- must not hide in
+frame averages). Otherwise the headline must fall back to 'highest'.
+
+--occluder overlays a textured patch translating 5 px/frame on the
+fixture, putting real flow discontinuities in the warp maps: this is the
+content that exercises the fast path's ONE approximate kernel
+(grid_sample_pixel_block clamps when a 2x2 block's corner span exceeds
+its 4x4 footprint, ops/sampling.py). Run the gate BOTH ways.
 
 Usage: python tools/quality_gate.py [--size 256 --epochs 2 --frames 6]
 (runs on whatever backend JAX selects; CPU works at small sizes).
@@ -33,6 +41,7 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--of_scale", type=int, default=2)
     ap.add_argument("--raft_iters", type=int, default=8)
+    ap.add_argument("--occluder", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,7 +60,8 @@ def main(argv=None):
 
     root = tempfile.mkdtemp(prefix="qgate_rlv_")
     make_rlv_fixture(
-        root, frames_per_scene=args.frames, size=(args.size, args.size)
+        root, frames_per_scene=args.frames, size=(args.size, args.size),
+        occluder=args.occluder,
     )
     cfg = Config(
         lowlight_images_path=root,
@@ -111,18 +121,34 @@ def main(argv=None):
     fa = run_mode("fast")
     precision.set_precision("highest")
 
+    def worst_block_psnr(a, b, blk=32):
+        """Lowest per-32x32-block PSNR between modes: localized clamping
+        artifacts (block-gather warp at flow discontinuities) must not
+        average away in the frame-level number."""
+        h_, w_ = a.shape[:2]
+        hb, wb = h_ // blk, w_ // blk
+        d = (a[: hb * blk, : wb * blk] - b[: hb * blk, : wb * blk]) ** 2
+        mse = d.reshape(hb, blk, wb, blk, -1).mean(axis=(1, 3, 4))
+        worst = float(mse.max())
+        return 10 * np.log10(1.0 / worst) if worst > 0 else 99.0
+
     mode_psnrs = []
+    worst_blocks = []
+    max_abs = []
     gt_metrics = {"highest": [], "fast": []}
     for rec, a, b in zip(records, hi, fa):
         mse = float(np.mean((a - b) ** 2))
         mode_psnrs.append(10 * np.log10(1.0 / mse) if mse > 0 else 99.0)
+        worst_blocks.append(worst_block_psnr(a, b))
+        max_abs.append(float(np.abs(a - b).max()))
         gt_path = rec.path.replace("input", "gt").replace(
             "low_light_", "normal_light_"
         )
-        import cv2
-
-        gt = cv2.imread(gt_path)[..., ::-1]
-        gt = cv2.resize(gt, (args.size, args.size))
+        # GT through the SAME PIL-exact decode/resize path as the input
+        # frames (FrameDataset.load_image_u8) -- a raw cv2.resize would
+        # score against differently-resampled references at non-native
+        # sizes (PARITY.md "Resize semantics")
+        gt = test_ds.load_image_u8(gt_path)
         for mode, out in (("highest", a), ("fast", b)):
             u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
             gt_metrics[mode].append(
@@ -130,7 +156,10 @@ def main(argv=None):
             )
 
     res = {
+        "occluder": bool(args.occluder),
         "trained_mode_vs_mode_psnr_db": round(float(np.mean(mode_psnrs)), 2),
+        "worst_block32_psnr_db": round(float(np.min(worst_blocks)), 2),
+        "max_abs_diff": round(float(np.max(max_abs)), 5),
         "gt_psnr_highest": round(
             float(np.mean([m[0] for m in gt_metrics["highest"]])), 3),
         "gt_psnr_fast": round(
@@ -142,6 +171,7 @@ def main(argv=None):
     }
     res["gate_pass_fast"] = bool(
         res["trained_mode_vs_mode_psnr_db"] >= 40.0
+        and res["worst_block32_psnr_db"] >= 30.0
         and abs(res["gt_psnr_highest"] - res["gt_psnr_fast"]) < 0.05
         and abs(res["gt_ssim_highest"] - res["gt_ssim_fast"]) < 0.001
     )

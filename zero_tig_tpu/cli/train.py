@@ -104,20 +104,14 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         if config.spatial_bands > 1:
             # per-band gradient accumulation: f32-faithful full-res training
             # on one chip (pipeline.train_step_spatial; equivalence-tested).
-            # BatchNorm runs on running stats every epoch -- matches the
-            # reference for epochs >= 1 (train.py:115-138 quirk); logged as
-            # a deviation for epoch 0.
-            if epoch == 0 and bn_train:
-                log.warning(
-                    "spatial_bands>1: epoch 0 uses eval-mode BatchNorm "
-                    "(train-mode batch stats cannot be banded)"
-                )
+            # Epoch 0 uses the exact two-pass banded train-mode BatchNorm
+            # (bug-faithful reference schedule, train.py:115-138).
             for item in stream:
                 state, loss = train_step_spatial(
                     state, raft_vars, item.image,
                     jnp.asarray(item.is_new_seq),
                     bands=config.spatial_bands, halo=config.spatial_halo,
-                    **step_kwargs,
+                    bn_train=bn_train, **step_kwargs,
                 )
                 losses.append(float(loss))
                 total_step += 1

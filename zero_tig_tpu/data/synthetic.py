@@ -22,15 +22,32 @@ def make_rlv_fixture(
     size: tuple[int, int] = (64, 48),  # (W, H)
     brightness: float = 0.15,
     seed: int = 2,
+    occluder: bool = False,
 ) -> str:
     """Write a tiny BVI-RLV-layout dataset under `root`; returns `root`.
 
     Layout: input/<scene>/low_light_10/NNN.png + gt/<scene>/normal_light_10/
     plus train_list.txt / test_list.txt listing all scenes.
+
+    occluder=True overlays a textured square patch translating 5 px/frame
+    over the slowly panning background, creating real flow discontinuities
+    (>2 px across a 2x2 block at the patch boundary). This is the content
+    that stresses the fast-mode block-gather warp's clamping bound
+    (ops/sampling.grid_sample_pixel_block) -- the smooth pan alone never
+    leaves its exact regime.
     """
     rng = np.random.default_rng(seed)
     w, h = size
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    occ_h, occ_w = max(h // 4, 8), max(w // 4, 8)
+    # dedicated rng: the base fixture must be bit-identical with and
+    # without the occluder overlay
+    occ_tex = (
+        np.random.default_rng(seed + 101)
+        .uniform(0.2, 1.0, (occ_h, occ_w, 3))
+        .astype(np.float32)
+    )
+    occ_tex = cv2.GaussianBlur(occ_tex, (3, 3), 0)
 
     for scene_i, scene in enumerate(scenes):
         base_phase = rng.uniform(0, 2 * np.pi)
@@ -44,6 +61,12 @@ def make_rlv_fixture(
                 ],
                 axis=-1,
             )
+            if occluder:
+                # textured patch moving 5 px/frame diagonally (wrapping),
+                # independent of the background motion
+                oy = int(h * 0.2 + 5 * f) % max(h - occ_h, 1)
+                ox = int(w * 0.3 + 5 * f) % max(w - occ_w, 1)
+                clean[oy : oy + occ_h, ox : ox + occ_w, :] = occ_tex
             low = clean * brightness + rng.normal(0, 0.01, clean.shape)
             low = np.clip(low, 0, 1)
 

@@ -22,9 +22,19 @@ class _SharedBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(
+        self,
+        x,
+        use_running_average: bool,
+        stats_override=None,
+        pre_bn_only: bool = False,
+    ):
         x = Conv(self.channels, (3, 3), padding=1, name="conv")(x)
-        x = TorchBatchNorm(self.channels, name="bn")(x, use_running_average)
+        if pre_bn_only:
+            return x
+        x = TorchBatchNorm(self.channels, name="bn")(
+            x, use_running_average, stats_override
+        )
         return nn.relu(x)
 
 
@@ -33,12 +43,30 @@ class Enhancer(nn.Module):
     channels: int = 64
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
+    def __call__(
+        self,
+        x,
+        use_running_average: bool = True,
+        bn_overrides=None,
+        return_pre_bn: int | None = None,
+    ):
+        """bn_overrides: optional sequence of (mean, var) pairs, one per
+        stage, used for BN normalization instead of batch/running stats
+        (spatial two-pass train-mode BN; the shared BN's running stats are
+        then updated by the caller). return_pre_bn=k short-circuits and
+        returns stage k's pre-BN conv output (the tensor whose full-frame
+        moments ARE that stage's batch statistics) -- stages < k must have
+        overrides."""
         fea = nn.relu(
             Conv(self.channels, (3, 3), padding=1, name="in_conv")(x)
         )
         block = _SharedBlock(self.channels, name="block")
-        for _ in range(self.layers):
-            fea = fea + block(fea, use_running_average)
+        for i in range(self.layers):
+            ov = None
+            if bn_overrides is not None and i < len(bn_overrides):
+                ov = bn_overrides[i]
+            if return_pre_bn is not None and i == return_pre_bn:
+                return block(fea, use_running_average, pre_bn_only=True)
+            fea = fea + block(fea, use_running_average, ov)
         fea = nn.sigmoid(Conv(3, (3, 3), padding=1, name="out_conv")(fea))
         return jnp.clip(fea, 0.0001, 1.0)

@@ -100,7 +100,14 @@ class TorchBatchNorm(nn.Module):
     momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
+    def __call__(
+        self, x, use_running_average: bool = True, stats_override=None
+    ):
+        """stats_override: optional (mean, var) pair used for normalization
+        instead of batch or running statistics. Enables the spatial
+        two-pass train-mode BN (pipeline.spatial): full-frame batch stats
+        are computed separately and supplied as differentiable inputs; the
+        caller updates the running stats itself, so no mutation here."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(
@@ -109,7 +116,9 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
-        if use_running_average:
+        if stats_override is not None:
+            mean, var = stats_override
+        elif use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)

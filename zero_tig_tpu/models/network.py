@@ -210,6 +210,7 @@ def forward_train_core(
     last_s3_wp: jax.Array,
     *,
     bn_train: bool = True,
+    bn_overrides=None,
 ) -> tuple[TrainOutputs, dict, dict]:
     """Gradient-carrying part of the training forward, AFTER flow+warp.
 
@@ -246,7 +247,16 @@ def forward_train_core(
 
     enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
     enh_vars = {"params": params["enhance"], "batch_stats": batch_stats["enhance"]}
-    if bn_train:
+    if bn_overrides is not None:
+        # spatial two-pass train-mode BN: full-frame batch stats supplied
+        # as (differentiable) inputs; running stats updated by the caller
+        s2 = maybe_ckpt(
+            lambda v, x, ov: ENHANCER.apply(
+                v, x, use_running_average=True, bn_overrides=ov
+            )
+        )(enh_vars, enh_in, tuple(bn_overrides))
+        new_batch_stats = batch_stats
+    elif bn_train:
         s2, mut = maybe_ckpt(
             lambda v, x: ENHANCER.apply(
                 v, x, use_running_average=False, mutable=["batch_stats"]

@@ -87,7 +87,10 @@ def _flow_phase(
     flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))
     wH3 = jnp.where(flag, zero, warped_H3)
     ws3 = jnp.where(flag, zero, warped_s3)
-    return wH3, ws3, loss_factor(L2, is_wb=is_wb), _rgb2ycbcr_scrambled(L2)
+    # enh_in: the enhancer's (detached, model/model.py:168) full-frame input,
+    # needed by the two-pass BN stats sweeps when bn_train=True
+    enh_in = jnp.concatenate([wH3, ws3, L2], axis=-1)
+    return wH3, ws3, loss_factor(L2, is_wb=is_wb), _rgb2ycbcr_scrambled(L2), enh_in
 
 
 @functools.partial(
@@ -141,12 +144,279 @@ def _band_grad(
     return loss, grads, H3_band, s3_band
 
 
+# ---------------------------------------------------------- two-pass BN
+# Train-mode BatchNorm normalizes with FULL-frame batch moments of each
+# shared-block stage's pre-BN conv output -- a full-frame reduction WITH
+# gradients, which a naive band split cannot reproduce. Exact banded
+# formulation (VERDICT round-2 item 4):
+#   pass A: banded owned-row sums give each stage's (mean, var) exactly
+#           (sequential in stages: stage k's input depends on stats_{<k});
+#   pass B: banded value_and_grad with the stats as DIFFERENTIABLE inputs
+#           -> parameter grads at fixed stats, plus dL/d(mean_k, var_k);
+#   pass C: back-substituted adjoints: for k = 3..1, the vjp of the banded
+#           stats function S_k(enh_params, stats_{<k}) with the TOTAL
+#           cotangent c_k adds the stats->params chain term and propagates
+#           c_j += dS_k adjoints for j < k.
+# The only deviation from monolithic autodiff is treating mean_k as a
+# constant inside var_k's vjp, whose dropped term is analytically zero
+# (sum of centered values); equivalence is tested at f32-noise level.
+# The enhancer input is detached (model/model.py:168), so stats depend on
+# enhancer params only.
+
+
+def _stage_sums(enh_vars, enh_in_sl, stats, mean_k, row_mask, stage: int):
+    """Owned-row partial sums of stage `stage`'s pre-BN activations:
+    (sum x, sum (x - mean_k)^2), each (64,)."""
+    from ..models.network import ENHANCER
+
+    x_k = ENHANCER.apply(
+        enh_vars, enh_in_sl, use_running_average=True,
+        bn_overrides=stats[:stage], return_pre_bn=stage,
+    )
+    m = row_mask[None, :, None, None]
+    s1 = jnp.sum(x_k * m, axis=(0, 1, 2))
+    s2 = jnp.sum(jnp.square(x_k - mean_k) * m, axis=(0, 1, 2))
+    return s1, s2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slice_h", "full_h", "stage")
+)
+def _bn_stats_band(
+    enh_params, enh_bstats, enh_in, stats, mean_k,
+    slice_start, own_start, own_end,
+    *, slice_h: int, full_h: int, stage: int,
+):
+    sl = jax.lax.dynamic_slice_in_dim(enh_in, slice_start, slice_h, 1)
+    rows = jax.lax.iota(jnp.int32, slice_h) + slice_start
+    mask = ((rows >= own_start) & (rows < own_end)).astype(enh_in.dtype)
+    return _stage_sums(
+        {"params": enh_params, "batch_stats": enh_bstats},
+        sl, stats, mean_k, mask, stage,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slice_h", "full_h", "stage")
+)
+def _bn_chain_band(
+    enh_params, enh_bstats, enh_in, stats, mean_k, cot_s1, cot_s2,
+    slice_start, own_start, own_end,
+    *, slice_h: int, full_h: int, stage: int,
+):
+    """vjp of this band's stats contribution: returns (d enh_params,
+    d stats) under cotangents (cot_s1, cot_s2) on the partial sums."""
+    sl = jax.lax.dynamic_slice_in_dim(enh_in, slice_start, slice_h, 1)
+    rows = jax.lax.iota(jnp.int32, slice_h) + slice_start
+    mask = ((rows >= own_start) & (rows < own_end)).astype(enh_in.dtype)
+
+    def T(p, st):
+        return _stage_sums(
+            {"params": p, "batch_stats": enh_bstats}, sl, st, mean_k,
+            mask, stage,
+        )
+
+    _, vjp = jax.vjp(T, enh_params, stats)
+    return vjp((cot_s1, cot_s2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slice_h", "band_h", "full_h", "is_wb"),
+)
+def _band_grad_bn(
+    params, batch_stats, frame, wH3, ws3, factor, ycc, stats,
+    slice_start, own_start, own_end,
+    *, slice_h: int, band_h: int, full_h: int, is_wb: bool,
+):
+    """Band loss + grads wrt (params, stats) with BN stats supplied."""
+    sl = functools.partial(
+        jax.lax.dynamic_slice_in_dim, start_index=slice_start,
+        slice_size=slice_h, axis=1,
+    )
+    frame_sl, wH3_sl, ws3_sl, ycc_sl = sl(frame), sl(wH3), sl(ws3), sl(ycc)
+
+    def loss_fn(p, st):
+        outputs, _, _ = forward_train_core(
+            {"params": p, "batch_stats": batch_stats},
+            frame_sl, wH3_sl, ws3_sl, bn_train=False, bn_overrides=st,
+        )
+        region = Region(slice_start, own_start, own_end, full_h)
+        loss = zero_tig_loss(
+            frame_sl, outputs, is_wb=is_wb, region=region, factor=factor,
+            ycc=ycc_sl,
+        )
+        return loss, outputs
+
+    (loss, outputs), (g_params, g_stats) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, stats)
+    own_local = own_start - slice_start
+    H3_band = jax.lax.dynamic_slice_in_dim(
+        jax.lax.stop_gradient(outputs.H3), own_local, band_h, 1
+    )
+    s3_band = jax.lax.dynamic_slice_in_dim(
+        jax.lax.stop_gradient(outputs.s3), own_local, band_h, 1
+    )
+    return loss, g_params, g_stats, H3_band, s3_band
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _apply_update(params, opt_state, grads, lr, grad_clip, weight_decay):
     cfg = Config(lr=lr, grad_clip=grad_clip, weight_decay=weight_decay)
     opt = make_optimizer(cfg)
     updates, new_opt_state = opt.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), new_opt_state
+
+
+def spatial_loss_and_grads(
+    state: TrainState,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    *,
+    bands: int = 2,
+    halo: int = 32,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    is_wb: bool = False,
+    bn_train: bool = False,
+):
+    """Banded loss/gradients for one frame, pre-optimizer.
+
+    Returns (loss_total, grads, new_batch_stats, new_carry). Exposed
+    separately from train_step_spatial so the equivalence tests can compare
+    GRADIENTS against the monolithic step directly (Adam amplifies f32
+    noise on near-zero-gradient channels into full-size update differences,
+    so post-update parameters are not a sharp equivalence signal).
+    """
+    h = frame.shape[1]
+    if h % bands:
+        raise ValueError(f"H={h} not divisible by bands={bands}")
+    band_h = h // bands
+    if band_h % 2 or halo % 2:
+        raise ValueError("band height and halo must be even (pair maps)")
+    slice_h = min(band_h + 2 * halo, h)
+
+    wH3, ws3, factor, ycc, enh_in = _flow_phase(
+        state.params, raft_vars, frame, state.carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+    )
+
+    geoms = []
+    for b_i in range(bands):
+        own_start = b_i * band_h
+        slice_start = min(max(own_start - halo, 0), h - slice_h)
+        geoms.append(
+            (
+                jnp.asarray(slice_start),
+                jnp.asarray(own_start),
+                jnp.asarray(own_start + band_h),
+            )
+        )
+
+    new_batch_stats = state.batch_stats
+    stats = None
+    if bn_train:
+        # ---- pass A: full-frame batch stats per shared-BN stage
+        enh_params = state.params["enhance"]
+        enh_bstats = state.batch_stats["enhance"]
+        b_sz = frame.shape[0]
+        n_el = b_sz * h * frame.shape[2]
+        zero64 = jnp.zeros((64,), jnp.float32)
+        stats = (
+            (zero64, zero64 + 1.0),
+            (zero64, zero64 + 1.0),
+            (zero64, zero64 + 1.0),
+        )
+        stats = list(stats)
+        for k in range(3):
+            s1_tot = zero64
+            for g in geoms:
+                s1, _ = _bn_stats_band(
+                    enh_params, enh_bstats, enh_in, tuple(stats), zero64,
+                    *g, slice_h=slice_h, full_h=h, stage=k,
+                )
+                s1_tot = s1_tot + s1
+            mean_k = s1_tot / n_el
+            s2_tot = zero64
+            for g in geoms:
+                _, s2 = _bn_stats_band(
+                    enh_params, enh_bstats, enh_in, tuple(stats), mean_k,
+                    *g, slice_h=slice_h, full_h=h, stage=k,
+                )
+                s2_tot = s2_tot + s2
+            stats[k] = (mean_k, s2_tot / n_el)
+        stats = tuple(stats)
+
+        # running-stats update: torch semantics, three sequential blends
+        # with the UNBIASED variance (models/layers.TorchBatchNorm)
+        rm = enh_bstats["block"]["bn"]["mean"]
+        rv = enh_bstats["block"]["bn"]["var"]
+        for k in range(3):
+            rm = 0.9 * rm + 0.1 * stats[k][0]
+            rv = 0.9 * rv + 0.1 * stats[k][1] * (n_el / max(n_el - 1, 1))
+        new_batch_stats = dict(state.batch_stats)
+        new_batch_stats["enhance"] = {
+            "block": {"bn": {"mean": rm, "var": rv}}
+        }
+
+    # ---- pass B: banded loss/grads (stats as differentiable inputs)
+    loss_total = jnp.zeros((), jnp.float32)
+    grads_acc = None
+    e_stats = None
+    h3_parts, s3_parts = [], []
+    for g in geoms:
+        if bn_train:
+            loss, grads, g_st, H3_b, s3_b = _band_grad_bn(
+                state.params, state.batch_stats, frame, wH3, ws3, factor,
+                ycc, stats, *g,
+                slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
+            )
+            e_stats = (
+                g_st if e_stats is None
+                else jax.tree_util.tree_map(jnp.add, e_stats, g_st)
+            )
+        else:
+            loss, grads, H3_b, s3_b = _band_grad(
+                state.params, state.batch_stats, frame, wH3, ws3, factor,
+                ycc, *g,
+                slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
+            )
+        loss_total = loss_total + loss
+        grads_acc = (
+            grads if grads_acc is None
+            else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        )
+        h3_parts.append(H3_b)
+        s3_parts.append(s3_b)
+
+    if bn_train:
+        # ---- pass C: stats -> params chain via back-substituted adjoints
+        c = [list(p) for p in e_stats]  # total cotangents per stage
+        b_sz = frame.shape[0]
+        n_el = b_sz * h * frame.shape[2]
+        for k in (2, 1, 0):
+            cot_s1 = c[k][0] / n_el
+            cot_s2 = c[k][1] / n_el
+            for g in geoms:
+                g_p, g_st = _bn_chain_band(
+                    state.params["enhance"], state.batch_stats["enhance"],
+                    enh_in, stats, stats[k][0], cot_s1, cot_s2, *g,
+                    slice_h=slice_h, full_h=h, stage=k,
+                )
+                grads_acc["enhance"] = jax.tree_util.tree_map(
+                    jnp.add, grads_acc["enhance"], g_p
+                )
+                for j in range(k):
+                    c[j][0] = c[j][0] + g_st[j][0]
+                    c[j][1] = c[j][1] + g_st[j][1]
+
+    new_carry = {
+        "last_H3": jnp.concatenate(h3_parts, axis=1),
+        "last_s3": jnp.concatenate(s3_parts, axis=1),
+    }
+    return loss_total, grads_acc, new_batch_stats, new_carry
 
 
 def train_step_spatial(
@@ -167,59 +437,23 @@ def train_step_spatial(
 ) -> tuple[TrainState, jax.Array]:
     """One zero-shot training frame via per-band gradient accumulation.
 
-    Exactly equivalent to pipeline.train_step (bn_train=False) up to f32
-    summation order; fits full-res f32-faithful training in one band's
+    Exactly equivalent to pipeline.train_step (both bn_train modes) up to
+    f32 summation order; fits full-res f32-faithful training in one band's
     memory. halo must cover the grad path's receptive field (d1 -> enhancer
-    -> d2 -> 21x21 blur stack: ~24 rows; default 32).
+    -> d2 -> 21x21 blur stack: ~24 rows; default 32). bn_train=True (the
+    reference's epoch-0 schedule, train.py:115-138) runs the exact two-pass
+    banded BN (see the two-pass BN block comment above).
     """
-    if bn_train:
-        raise ValueError(
-            "train_step_spatial requires bn_train=False: train-mode "
-            "BatchNorm reduces over the full frame WITH gradients and "
-            "cannot be split into bands (see module docstring)"
-        )
-    h = frame.shape[1]
-    if h % bands:
-        raise ValueError(f"H={h} not divisible by bands={bands}")
-    band_h = h // bands
-    if band_h % 2 or halo % 2:
-        raise ValueError("band height and halo must be even (pair maps)")
-    slice_h = min(band_h + 2 * halo, h)
-
-    wH3, ws3, factor, ycc = _flow_phase(
-        state.params, raft_vars, frame, state.carry, is_new_seq,
-        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+    loss_total, grads_acc, new_batch_stats, new_carry = spatial_loss_and_grads(
+        state, raft_vars, frame, is_new_seq,
+        bands=bands, halo=halo, of_scale=of_scale, raft_iters=raft_iters,
+        is_wb=is_wb, bn_train=bn_train,
     )
-
-    loss_total = jnp.zeros((), jnp.float32)
-    grads_acc = None
-    h3_parts, s3_parts = [], []
-    for b_i in range(bands):
-        own_start = b_i * band_h
-        slice_start = min(max(own_start - halo, 0), h - slice_h)
-        loss, grads, H3_b, s3_b = _band_grad(
-            state.params, state.batch_stats, frame, wH3, ws3, factor, ycc,
-            jnp.asarray(slice_start), jnp.asarray(own_start),
-            jnp.asarray(own_start + band_h),
-            slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
-        )
-        loss_total = loss_total + loss
-        grads_acc = (
-            grads if grads_acc is None
-            else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-        )
-        h3_parts.append(H3_b)
-        s3_parts.append(s3_b)
-
     new_params, new_opt_state = _apply_update(
         state.params, state.opt_state, grads_acc,
         jnp.asarray(lr), jnp.asarray(grad_clip), jnp.asarray(weight_decay),
     )
-    new_carry = {
-        "last_H3": jnp.concatenate(h3_parts, axis=1),
-        "last_s3": jnp.concatenate(s3_parts, axis=1),
-    }
     return (
-        TrainState(new_params, state.batch_stats, new_opt_state, new_carry),
+        TrainState(new_params, new_batch_stats, new_opt_state, new_carry),
         loss_total,
     )
