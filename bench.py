@@ -40,8 +40,9 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 PRECISION = os.environ.get("BENCH_PRECISION", "fast")
 # frames per lax.scan chunk: streaming video inference issues K frames per
 # dispatch (pipeline.predict_chunk), amortizing the per-call host/relay
-# latency exactly like production serving; every frame is fully computed.
-CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
+# latency (~30 ms through the axon relay) exactly like production serving;
+# every frame is fully computed. 32 measured ~1 ms/frame better than 16.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "32"))
 
 
 def main() -> None:

@@ -153,3 +153,36 @@ def test_fast_warp_tensor_uses_block_path(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=6e-3
     )
+
+
+def test_enh_scale_half_res(rng):
+    """enh_scale=2 (fast operating point): runs, stays finite/in-range, and
+    tracks the exact full-res s2 closely (the illumination map is smooth);
+    enh_scale=1 is byte-identical to the default path by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from zero_tig_tpu.models import init_network_variables, init_raft_variables
+    from zero_tig_tpu.models.network import forward_inference
+
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frame = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32) * 0.4)
+    carry = {
+        "last_H3": jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32)),
+        "last_s3": jnp.asarray(
+            rng.random((1, 64, 64, 3)).astype(np.float32) * 0.5 + 0.3
+        ),
+    }
+    outs = {}
+    for es in (1, 2):
+        (H2, H3, s3), _ = forward_inference(
+            net_vars, raft_vars, frame, dict(carry), jnp.asarray(False),
+            of_scale=2, raft_iters=2, enh_scale=es,
+        )
+        outs[es] = np.asarray(H3)
+        assert np.isfinite(outs[es]).all()
+        assert outs[es].min() >= 0 and outs[es].max() <= 1.0
+    # random-weight s2 maps are far rougher than trained ones; the real
+    # quality bound is measured by tools/quality_gate.py --fast_enh_scale 2
+    assert np.abs(outs[1] - outs[2]).mean() < 0.1

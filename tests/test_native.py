@@ -95,3 +95,41 @@ def test_dataset_native_flag(tmp_path, rng):
     rec = next(iter(ds))
     assert rec.image.shape == (24, 32, 3)
     assert rec.image.dtype == np.float32
+
+
+def test_native_u8_oneshot_and_pipeline(tmp_path):
+    """uint8 output mode: native-size frames are byte-exact with the PNG
+    bytes; the u8 pipeline yields the same frames in order."""
+    native = pytest.importorskip("zero_tig_tpu.native")
+    if not native.available():
+        pytest.skip(f"native frameio unavailable: {native.build_error()}")
+    import cv2
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        img = rng.integers(0, 256, (24, 32, 3), np.uint8)
+        p = str(tmp_path / f"{i:03d}.png")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+
+    # native-size: straight memcpy of the decoded bytes
+    ref = cv2.cvtColor(cv2.imread(paths[0]), cv2.COLOR_BGR2RGB)
+    got = native.load_frame_u8(paths[0], 32, 24)
+    np.testing.assert_array_equal(got, ref)
+
+    # resized: u8 == quantized float path
+    f = native.load_frame(paths[0], 16, 12)
+    u = native.load_frame_u8(paths[0], 16, 12)
+    np.testing.assert_array_equal(
+        u, np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
+
+    pipe = native.NativePipeline(paths, 32, 24, threads=2, out_u8=True)
+    outs = list(pipe)
+    pipe.close()
+    assert len(outs) == 4
+    for p, o in zip(paths, outs):
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert o.dtype == np.uint8
+        np.testing.assert_array_equal(o, ref)

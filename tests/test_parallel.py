@@ -92,7 +92,8 @@ def test_scene_streams_and_batched_records(tmp_path):
 
     batches = list(batched_records(ds, 2))
     assert len(batches) == 6  # 12 frames / 2 streams
-    frames, flags = batches[0]
+    frames, flags, paths = batches[0]
+    assert len(paths) == 2
     assert frames.shape == (2, 24, 32, 3)
     assert flags.tolist() == [True, True]  # both streams start fresh
     # scene boundaries flagged inside each stream
@@ -125,3 +126,53 @@ def test_train_scenes_spmd_e2e(tmp_path):
     losses = [float(l.split()[-1]) for l in logs if "mean" not in l]
     assert all(np.isfinite(losses))
     assert state.carry["last_H3"].shape == (4, 48, 64, 3)
+
+
+def test_scene_parallel_inference_matches_single_device(tmp_path):
+    """Sharded multi-scene predict == the single-device per-frame loop,
+    frame for frame (scenes are embarrassingly parallel; the carry stays
+    chip-local). SURVEY section 2.7-1, inference side."""
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.data import create_dataset, make_rlv_fixture
+    from zero_tig_tpu.models import (
+        init_network_variables,
+        init_raft_variables,
+    )
+    from zero_tig_tpu.parallel import make_mesh, predict_scenes_spmd
+    from zero_tig_tpu.pipeline import predict_step
+
+    root = str(tmp_path / "rlv")
+    make_rlv_fixture(root, frames_per_scene=3, size=(64, 48))
+    cfg = Config(
+        frame_width=64, frame_height=48, of_scale=2, raft_iters=2,
+        mesh_data=2, mesh_spatial=1,
+    )
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+
+    # single-device reference: sequential loop, carry reset per scene
+    ds = create_dataset("RLV", root, "train", size=(64, 48))
+    ref = {}
+    carry = None
+    for rec in ds:
+        frame = jnp.asarray(np.asarray(rec.image, np.float32)[None])
+        if carry is None:
+            zeros = jnp.zeros_like(frame)
+            carry = {"last_H3": zeros, "last_s3": zeros}
+        (H2, H3, s3), carry = predict_step(
+            net_vars, raft_vars, frame, carry, jnp.asarray(rec.is_new_seq),
+            of_scale=2, raft_iters=2,
+        )
+        ref[rec.path] = np.asarray(H3[0])
+
+    got = {}
+    ds2 = create_dataset("RLV", root, "train", size=(64, 48))
+    mesh = make_mesh(2, 1)
+    n = predict_scenes_spmd(
+        cfg, ds2, net_vars, raft_vars,
+        lambda p, H2, H3, s3: got.__setitem__(p, H3),
+        mesh=mesh,
+    )
+    assert n == len(ref) == 6
+    for p, h3 in ref.items():
+        np.testing.assert_allclose(got[p], h3, atol=2e-5, err_msg=p)

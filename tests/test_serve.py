@@ -75,3 +75,50 @@ def test_serve_processes_then_resumes(inbox, tmp_path):
     os.remove(os.path.join(inbox, "STOP"))
     n2 = run_serve(cfg, poll_sec=0.1, settle_sec=0.0, max_idle_sec=0.5)
     assert n2 == 0
+
+
+def test_serve_chunked_backlog_matches_per_frame(inbox, tmp_path):
+    """A pre-filled inbox with chunk=2 routes settled backlogs through
+    predict_chunk; outputs match the per-frame path to u8 rounding (the
+    scan and step programs compile to slightly different fusions, so a
+    handful of pixels may flip one quantization level)."""
+    import cv2
+
+    from zero_tig_tpu.cli.serve import run_serve
+
+    def run(save, chunk):
+        cfg = Config(
+            lowlight_images_path=inbox, save=str(tmp_path / save),
+            chunk=chunk, **TINY,
+        )
+
+        def stop_when_done():
+            deadline = time.time() + 300
+            pat = str(tmp_path / save / "**" / "*_denoise.png")
+            while (
+                len(glob.glob(pat, recursive=True)) < 6
+                and time.time() < deadline
+            ):
+                time.sleep(0.3)
+            open(os.path.join(inbox, "STOP"), "w").close()
+
+        t = threading.Thread(target=stop_when_done)
+        t.start()
+        n = run_serve(cfg, poll_sec=0.2, settle_sec=0.0, max_idle_sec=240.0)
+        t.join()
+        os.remove(os.path.join(inbox, "STOP"))
+        return n
+
+    n_chunk = run("out_chunk", 2)
+    n_step = run("out_step", 1)
+    assert n_chunk == n_step == 6
+
+    for p in sorted(
+        glob.glob(str(tmp_path / "out_chunk" / "**" / "*.png"), recursive=True)
+    ):
+        q = p.replace("out_chunk", "out_step")
+        a, b = cv2.imread(p), cv2.imread(q)
+        assert b is not None, q
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, (os.path.basename(p), d.max())
+        assert (d > 0).mean() < 0.05, os.path.basename(p)

@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--of_scale", type=int, default=2)
     ap.add_argument("--raft_iters", type=int, default=8)
     ap.add_argument("--occluder", action="store_true")
+    ap.add_argument(
+        "--fast_enh_scale", type=int, default=1,
+        help="enh_scale applied to the FAST mode run only (gates the "
+        "half-res illumination-estimator operating point)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -107,12 +112,15 @@ def main(argv=None):
             "last_H3": jnp.zeros(shape, jnp.float32),
             "last_s3": jnp.zeros(shape, jnp.float32),
         }
+        mode_kwargs = dict(sk)
+        if mode == "fast":
+            mode_kwargs["enh_scale"] = args.fast_enh_scale
         outs = []
         for rec in records:
             frame = jnp.asarray(np.asarray(rec.image, np.float32)[None])
             (H2, H3, s3), carry = predict_step(
                 trained, raft_vars, frame, carry,
-                jnp.asarray(rec.is_new_seq), **sk,
+                jnp.asarray(rec.is_new_seq), **mode_kwargs,
             )
             outs.append(np.asarray(H3[0], np.float32))
         return outs
@@ -157,6 +165,7 @@ def main(argv=None):
 
     res = {
         "occluder": bool(args.occluder),
+        "fast_enh_scale": int(args.fast_enh_scale),
         "trained_mode_vs_mode_psnr_db": round(float(np.mean(mode_psnrs)), 2),
         "worst_block32_psnr_db": round(float(np.min(worst_blocks)), 2),
         "max_abs_diff": round(float(np.max(max_abs)), 5),

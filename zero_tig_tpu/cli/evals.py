@@ -60,6 +60,7 @@ def run_evals(
             net_vars, raft_vars, rec.image, carry,
             jnp.asarray(rec.is_new_seq),
             of_scale=config.of_scale, raft_iters=config.raft_iters,
+            enh_scale=config.enh_scale,
         )
         gt_path = gt_path_for(rec.path)
         gt_bgr = cv2.imread(gt_path, cv2.IMREAD_COLOR)

@@ -55,7 +55,10 @@ def run_predict(config: Config) -> None:
     )
     print("Total image number: ", str(len(test_ds)))
 
-    step_kwargs = dict(of_scale=config.of_scale, raft_iters=config.raft_iters)
+    step_kwargs = dict(
+        of_scale=config.of_scale, raft_iters=config.raft_iters,
+        enh_scale=config.enh_scale,
+    )
     carry = None
     stream = device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth)
     # --chunk K dispatches K frames per lax.scan program (predict_chunk),

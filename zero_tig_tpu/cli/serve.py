@@ -35,16 +35,16 @@ import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
 from ..data.datasets import extract_number, sort_files_by_name
-from ..pipeline import predict_step
+from ..pipeline import predict_chunk, predict_step
 from .common import load_variables, setup_logging, write_png
 
 
 def _scan(inbox: str) -> dict[str, list[str]]:
-    """Scene dir -> numerically sorted frame paths."""
+    """Scene dir -> numerically sorted frame paths. (The STOP sentinel is
+    a bare file, never *.png, so no filtering is needed here; the loop-top
+    existence check handles shutdown.)"""
     frames: dict[str, list[str]] = {}
     for p in glob.glob(os.path.join(inbox, "**", "*.png"), recursive=True):
-        if os.path.basename(p) == "STOP":
-            continue
         frames.setdefault(os.path.dirname(p), []).append(p)
     return {d: sort_files_by_name(ps) for d, ps in frames.items()}
 
@@ -76,7 +76,10 @@ def run_serve(
 
     carries: dict[str, dict] = {}
     last_idx: dict[str, int] = {}
-    sk = dict(of_scale=config.of_scale, raft_iters=config.raft_iters)
+    sk = dict(
+        of_scale=config.of_scale, raft_iters=config.raft_iters,
+        enh_scale=config.enh_scale,
+    )
     processed = 0
     last_activity = time.time()
     inbox = config.lowlight_images_path
@@ -91,7 +94,39 @@ def run_serve(
             scenes = _scan(inbox)
             acted = False
             now = time.time()
+
+            def load_frame(p: str) -> np.ndarray:
+                with Image.open(p) as im:
+                    im = im.convert("RGB")
+                    size = (config.frame_width, config.frame_height)
+                    if im.size != size:
+                        im = im.resize(size, Image.Resampling.BICUBIC)
+                    return np.asarray(im, np.float32) / 255.0
+
+            def emit(p, scene, idx, is_new, H2, H3):
+                rel = os.path.relpath(p, inbox)
+                out_dir = os.path.join(config.save, os.path.dirname(rel))
+                os.makedirs(out_dir, exist_ok=True)
+                stem = os.path.splitext(os.path.basename(p))[0]
+                write_png(
+                    os.path.join(out_dir, stem + "_denoise.png"),
+                    np.asarray(H3),
+                )
+                write_png(
+                    os.path.join(out_dir, stem + "_enhance.png"),
+                    np.asarray(H2),
+                )
+                manifest.write(json.dumps({
+                    "path": p, "scene": scene, "index": idx,
+                    "new_seq": bool(is_new), "t": time.time(),
+                }) + "\n")
+                manifest.flush()
+                done.add(p)
+                log.info("served %s (new_seq=%s)", rel, is_new)
+
             for scene, paths in sorted(scenes.items()):
+                # maximal consecutive settled prefix of unserved frames
+                todo: list[str] = []
                 for i, p in enumerate(paths):
                     if p in done:
                         continue
@@ -100,48 +135,69 @@ def run_serve(
                         or now - os.path.getmtime(p) >= settle_sec
                     )
                     if not settled:
-                        continue
-                    with Image.open(p) as im:
-                        im = im.convert("RGB")
-                        size = (config.frame_width, config.frame_height)
-                        if im.size != size:
-                            im = im.resize(size, Image.Resampling.BICUBIC)
-                        arr = np.asarray(im, np.float32) / 255.0
-                    frame = jnp.asarray(arr[None])
-                    idx = extract_number(p)
-                    is_new = (
-                        scene not in carries
-                        or idx != last_idx.get(scene, -2) + 1
-                    )
-                    if scene not in carries:
-                        zeros = jnp.zeros_like(frame)
-                        carries[scene] = {"last_H3": zeros, "last_s3": zeros}
-                    (H2, H3, _s3), carries[scene] = predict_step(
-                        net_vars, raft_vars, frame, carries[scene],
-                        jnp.asarray(is_new), **sk,
-                    )
-                    last_idx[scene] = idx
-                    rel = os.path.relpath(p, inbox)
-                    out_dir = os.path.join(config.save, os.path.dirname(rel))
-                    os.makedirs(out_dir, exist_ok=True)
-                    stem = os.path.splitext(os.path.basename(p))[0]
-                    write_png(
-                        os.path.join(out_dir, stem + "_denoise.png"),
-                        np.asarray(H3)[0],
-                    )
-                    write_png(
-                        os.path.join(out_dir, stem + "_enhance.png"),
-                        np.asarray(H2)[0],
-                    )
-                    manifest.write(json.dumps({
-                        "path": p, "scene": scene, "index": idx,
-                        "new_seq": bool(is_new), "t": time.time(),
-                    }) + "\n")
-                    manifest.flush()
-                    done.add(p)
-                    processed += 1
-                    acted = True
-                    log.info("served %s (new_seq=%s)", rel, is_new)
+                        break
+                    todo.append(p)
+                if not todo:
+                    continue
+                acted = True
+                while todo:
+                    if config.chunk > 1 and len(todo) >= config.chunk:
+                        # settled backlog of >= K frames: ONE lax.scan
+                        # dispatch (predict_chunk) -- the serving analogue
+                        # of the bench's chunked throughput path. Groups
+                        # are exactly K frames so one compiled program
+                        # serves every backlog.
+                        group = todo[: config.chunk]
+                        todo = todo[config.chunk :]
+                        arrs, flags, idxs = [], [], []
+                        seen = scene in carries
+                        for p in group:
+                            idx = extract_number(p)
+                            flags.append(
+                                (not seen)
+                                or idx != last_idx.get(scene, -2) + 1
+                            )
+                            seen = True  # carry exists after frame 1
+                            idxs.append(idx)
+                            last_idx[scene] = idx
+                            arrs.append(load_frame(p))
+                        frames_k = jnp.asarray(np.stack(arrs)[:, None])
+                        if scene not in carries:
+                            zeros = jnp.zeros_like(frames_k[0])
+                            carries[scene] = {
+                                "last_H3": zeros, "last_s3": zeros,
+                            }
+                        (H2s, H3s, _s3s), carries[scene] = predict_chunk(
+                            net_vars, raft_vars, frames_k, carries[scene],
+                            jnp.asarray(flags), **sk,
+                        )
+                        H2s = np.asarray(H2s)
+                        H3s = np.asarray(H3s)
+                        for k, p in enumerate(group):
+                            emit(p, scene, idxs[k], flags[k],
+                                 H2s[k, 0], H3s[k, 0])
+                        processed += len(group)
+                    else:
+                        p = todo.pop(0)
+                        frame = jnp.asarray(load_frame(p)[None])
+                        idx = extract_number(p)
+                        is_new = (
+                            scene not in carries
+                            or idx != last_idx.get(scene, -2) + 1
+                        )
+                        if scene not in carries:
+                            zeros = jnp.zeros_like(frame)
+                            carries[scene] = {
+                                "last_H3": zeros, "last_s3": zeros,
+                            }
+                        (H2, H3, _s3), carries[scene] = predict_step(
+                            net_vars, raft_vars, frame, carries[scene],
+                            jnp.asarray(is_new), **sk,
+                        )
+                        last_idx[scene] = idx
+                        emit(p, scene, idx, is_new,
+                             np.asarray(H2)[0], np.asarray(H3)[0])
+                        processed += 1
             if acted:
                 last_activity = time.time()
             elif time.time() - last_activity > max_idle_sec:

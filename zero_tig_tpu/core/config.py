@@ -34,6 +34,10 @@ class Config:
     enhancer_channels: int = 64
     denoise_channels: int = 48  # model/model.py:90-91
     raft_iters: int = 12  # model/model.py:245
+    # fast-operating-point knob: illumination estimator at 1/enh_scale
+    # res with bilinear s2 upsample (quality-gated; 1 = exact reference
+    # semantics). Inference only; training always runs full-res.
+    enh_scale: int = 1
     corr_levels: int = 4  # model/RAFT/raft.py:30
     corr_radius: int = 4
 

@@ -159,10 +159,31 @@ class FrameDataset:
         """Like __iter__ but images stay uint8 (normalize on device; see
         data.prefetch.device_prefetch transfer_uint8). Skips the host-side
         float conversion entirely -- on a relayed TPU the uint8 H2D path is
-        ~4-100x cheaper. Native-IO datasets fall back to their float path
-        (the C++ loader fuses normalization)."""
+        ~4-100x cheaper. Native-IO datasets use the C++ pipeline's uint8
+        output mode (ordered multi-threaded decode; frames already at
+        target size are a straight memcpy of the decoded bytes), so the
+        native path now composes with the uint8 transfer instead of being
+        excluded by the relay's pathological float H2D (round-2 finding,
+        BASELINE.md)."""
         if self.native:
-            yield from self
+            from .. import native as native_mod
+
+            pipe = native_mod.NativePipeline(
+                self.paths, self.size[0], self.size[1],
+                threads=max(os.cpu_count() or 1, 1), out_u8=True,
+            )
+            try:
+                for path, image in zip(self.paths, pipe):
+                    is_new = sequential_judgment(path, self._last_path)
+                    self._last_path = path
+                    yield FrameRecord(
+                        image=image,
+                        name=os.path.splitext(os.path.basename(path))[0],
+                        path=path,
+                        is_new_seq=is_new,
+                    )
+            finally:
+                pipe.close()
             return
         for path in self.paths:
             is_new = sequential_judgment(path, self._last_path)

@@ -324,12 +324,20 @@ def forward_inference(
     *,
     of_scale: int = 3,
     raft_iters: int = 12,
+    enh_scale: int = 1,
 ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
     """Inference forward. Parity: Finetunemodel.forward (model/model.py:312-340).
 
     Quirk preserved: on a new sequence the refiner's "warped previous" input
     is H2 itself, not zeros (model/model.py:330-332). BatchNorm runs in eval
     mode (running statistics). Returns ((H2, H3, s3), new_carry).
+
+    enh_scale: fast-operating-point knob -- run the illumination estimator
+    at 1/enh_scale resolution and bilinearly upsample s2 (the TV- and
+    smoothness-regularized illumination map is low-frequency by
+    construction, loss.py:48-49). enh_scale=1 is exact reference
+    semantics; >1 must pass tools/quality_gate.py like every fast-mode
+    approximation. The denoisers always run at full resolution.
     """
     params, batch_stats = variables["params"], variables["batch_stats"]
 
@@ -345,6 +353,7 @@ def forward_inference(
     if (
         fast
         and get_pack_conv()
+        and enh_scale == 1
         and frame.shape[0] == 1
         and h % 2 == 0
         and w % 2 == 0
@@ -385,7 +394,14 @@ def forward_inference(
     last_H3_wp = jnp.where(new_flag, zero, warped_H3)
     last_s3_wp = jnp.where(new_flag, zero, warped_s3)
 
-    s2 = enh(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
+    enh_in = jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1)
+    if enh_scale > 1 and h % enh_scale == 0 and w % enh_scale == 0:
+        small = resize_bilinear(
+            enh_in, (h // enh_scale, w // enh_scale), align_corners=False
+        )
+        s2 = resize_bilinear(enh(small), (h, w), align_corners=False)
+    else:
+        s2 = enh(enh_in)
     H2 = jnp.clip(inp / s2, EPS, 1.0)
 
     last_H3_wp = jnp.where(new_flag, H2, last_H3_wp)

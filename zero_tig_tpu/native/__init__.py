@@ -70,6 +70,17 @@ def get_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ]
         lib.frameio_pipeline_destroy.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.frameio_load_u8.restype = ctypes.c_int
+        lib.frameio_load_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        lib.frameio_pipeline_create_u8.restype = ctypes.c_void_p
+        lib.frameio_pipeline_create_u8.argtypes = (
+            lib.frameio_pipeline_create.argtypes
+        )
+        lib.frameio_pipeline_next_u8.restype = ctypes.c_int
+        lib.frameio_pipeline_next_u8.argtypes = [ctypes.c_void_p, u8p]
         _lib = lib
         return _lib
 
@@ -99,8 +110,33 @@ def load_frame(
     return out
 
 
+def load_frame_u8(
+    path: str, width: int, height: int, *, mode: int = MODE_BICUBIC
+) -> np.ndarray:
+    """Decode + resize one frame natively -> (H, W, 3) uint8 RGB.
+
+    Composes with device_prefetch(transfer_uint8=True): the relay's float
+    H2D path is ~100x slower (BASELINE.md), which made the float-only
+    native loader unusable through the relay in round 2. Frames already at
+    target size are a straight memcpy of the decoded bytes."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native frameio unavailable: {_build_error}")
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.frameio_load_u8(
+        path.encode(), width, height, mode,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed: {path}")
+    return out
+
+
 class NativePipeline:
-    """Ordered multi-threaded decode pipeline over a fixed path list."""
+    """Ordered multi-threaded decode pipeline over a fixed path list.
+
+    out_u8=True yields (H, W, 3) uint8 frames (the relay-friendly transfer
+    format); default yields float32 [0, 1]."""
 
     def __init__(
         self,
@@ -111,14 +147,20 @@ class NativePipeline:
         mode: int = MODE_BICUBIC,
         threads: int = 4,
         capacity: int = 8,
+        out_u8: bool = False,
     ):
         lib = get_lib()
         if lib is None:
             raise RuntimeError(f"native frameio unavailable: {_build_error}")
         self._lib = lib
+        self._u8 = bool(out_u8)
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
-        self._handle = lib.frameio_pipeline_create(
+        create = (
+            lib.frameio_pipeline_create_u8 if out_u8
+            else lib.frameio_pipeline_create
+        )
+        self._handle = create(
             arr, len(self._paths), width, height, mode, threads, capacity
         )
         self.width, self.height = width, height
@@ -131,10 +173,18 @@ class NativePipeline:
     def __next__(self) -> np.ndarray:
         if self._i >= self._n:
             raise StopIteration
-        out = np.empty((self.height, self.width, 3), np.float32)
-        rc = self._lib.frameio_pipeline_next(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        )
+        if self._u8:
+            out = np.empty((self.height, self.width, 3), np.uint8)
+            rc = self._lib.frameio_pipeline_next_u8(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            )
+        else:
+            out = np.empty((self.height, self.width, 3), np.float32)
+            rc = self._lib.frameio_pipeline_next(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         self._i += 1
         if rc == 2:
             raise StopIteration

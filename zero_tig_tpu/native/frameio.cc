@@ -225,13 +225,20 @@ void resize_normalize(const unsigned char* src, int sw, int sh, float* dst,
   }
 }
 
+inline unsigned char quant255(float v) {
+  float s = v * 255.0f + 0.5f;
+  return s <= 0.f ? 0 : (s >= 255.f ? 255 : static_cast<unsigned char>(s));
+}
+
 // ----------------------------------------------------------- pipeline
 
 struct Pipeline {
   std::vector<std::string> paths;
   int dw, dh, mode;
+  int u8 = 0;                              // 1: uint8 RGB output slots
   size_t capacity;
-  std::vector<std::vector<float>> slots;   // ring of decoded frames
+  std::vector<std::vector<float>> slots;   // ring of decoded frames (f32)
+  std::vector<std::vector<unsigned char>> slots8;  // ring (u8 mode)
   std::vector<int> status;                 // 0 empty, 1 ready, -1 error
   std::atomic<size_t> next_job{0};
   size_t next_out = 0;
@@ -256,7 +263,17 @@ struct Pipeline {
       int w = 0, h = 0;
       bool ok = decode(paths[job].c_str(), rgb, w, h);
       size_t slot = job % capacity;
-      if (ok) {
+      if (ok && u8) {
+        const size_t n = static_cast<size_t>(dw) * dh * 3;
+        slots8[slot].resize(n);
+        if (w == dw && h == dh) {
+          memcpy(slots8[slot].data(), rgb.data(), n);
+        } else {
+          std::vector<float> tmp(n);
+          resize_normalize(rgb.data(), w, h, tmp.data(), dw, dh, mode);
+          for (size_t i = 0; i < n; ++i) slots8[slot][i] = quant255(tmp[i]);
+        }
+      } else if (ok) {
         slots[slot].resize(static_cast<size_t>(dw) * dh * 3);
         resize_normalize(rgb.data(), w, h, slots[slot].data(), dw, dh, mode);
       }
@@ -285,21 +302,43 @@ int frameio_load(const char* path, int out_w, int out_h, int mode,
   return 0;
 }
 
-void* frameio_pipeline_create(const char** paths, int n_paths, int out_w,
-                              int out_h, int mode, int n_threads,
-                              int capacity) {
+static void* pipeline_create_impl(const char** paths, int n_paths,
+                                  int out_w, int out_h, int mode,
+                                  int n_threads, int capacity, int u8) {
   auto* p = new Pipeline();
   p->paths.assign(paths, paths + n_paths);
   p->dw = out_w;
   p->dh = out_h;
   p->mode = mode;
+  p->u8 = u8;
   p->capacity = capacity < 2 ? 2 : capacity;
-  p->slots.resize(p->capacity);
+  if (u8)
+    p->slots8.resize(p->capacity);
+  else
+    p->slots.resize(p->capacity);
   p->status.assign(p->capacity, 0);
   int nt = n_threads < 1 ? 1 : n_threads;
   for (int i = 0; i < nt; ++i)
     p->workers.emplace_back(&Pipeline::worker, p);
   return p;
+}
+
+void* frameio_pipeline_create(const char** paths, int n_paths, int out_w,
+                              int out_h, int mode, int n_threads,
+                              int capacity) {
+  return pipeline_create_impl(paths, n_paths, out_w, out_h, mode, n_threads,
+                              capacity, 0);
+}
+
+// uint8 output variant: slots hold RGB bytes. Composes with the device
+// prefetch's uint8 H2D transfer (the relay's float path is ~100x slower;
+// BASELINE.md round 2) and skips the float round-trip entirely when the
+// frame is already at target size.
+void* frameio_pipeline_create_u8(const char** paths, int n_paths, int out_w,
+                                 int out_h, int mode, int n_threads,
+                                 int capacity) {
+  return pipeline_create_impl(paths, n_paths, out_w, out_h, mode, n_threads,
+                              capacity, 1);
 }
 
 // Blocking ordered pop: fills `out`; returns 0 ok, 1 decode error, 2 done.
@@ -323,6 +362,47 @@ int frameio_pipeline_next(void* handle, float* out) {
   }
   p->cv.notify_all();
   return st == 1 ? 0 : 1;
+}
+
+// Blocking ordered pop (u8 pipelines): fills out (out_h*out_w*3 bytes).
+int frameio_pipeline_next_u8(void* handle, unsigned char* out) {
+  auto* p = static_cast<Pipeline*>(handle);
+  if (p->next_out >= p->paths.size()) return 2;
+  size_t slot = p->next_out % p->capacity;
+  int st;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv.wait(lk, [&] { return p->status[slot] != 0; });
+    st = p->status[slot];
+  }
+  if (st == 1)
+    memcpy(out, p->slots8[slot].data(),
+           static_cast<size_t>(p->dw) * p->dh * 3);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->status[slot] = 0;
+    p->next_out += 1;
+  }
+  p->cv.notify_all();
+  return st == 1 ? 0 : 1;
+}
+
+// One-shot uint8: decode + resize + quantize (memcpy fast path at native
+// size). Returns 0 on success.
+int frameio_load_u8(const char* path, int out_w, int out_h, int mode,
+                    unsigned char* out) {
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode(path, rgb, w, h)) return 1;
+  const size_t n = static_cast<size_t>(out_w) * out_h * 3;
+  if (w == out_w && h == out_h) {
+    memcpy(out, rgb.data(), n);
+    return 0;
+  }
+  std::vector<float> tmp(n);
+  resize_normalize(rgb.data(), w, h, tmp.data(), out_w, out_h, mode);
+  for (size_t i = 0; i < n; ++i) out[i] = quant255(tmp[i]);
+  return 0;
 }
 
 void frameio_pipeline_destroy(void* handle) {

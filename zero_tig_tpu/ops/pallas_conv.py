@@ -16,11 +16,12 @@ vertical taps come from the strip's row overlap, horizontal taps from
 picking the dx-shifted input. The Pallas grid pipeline streams the strip
 blocks through VMEM (W is tiled to fit with double buffering).
 
-Used on the stop-gradient/inference path in fast-precision mode only
-(layers.Conv dispatches here); training keeps XLA convs (no VJP defined).
-Numerics: identical bf16 products, f32 accumulation in a different
-association order than XLA's conv -- the usual fast-mode deviation class,
-covered by the fast-vs-highest quality gates.
+NOT WIRED into any model path (like ops/pallas_equalize.py): the
+aligned-only staging variant measured slower than XLA's conv in round 2,
+and round 3's packed-pair engine (ops/pack_conv.py) superseded this
+row-im2col design -- kept as a correctness-tested record of the
+aligned-slice formulation. Numerics: identical bf16 products, f32
+accumulation in a different association order than XLA's conv.
 """
 
 from __future__ import annotations

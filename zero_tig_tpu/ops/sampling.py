@@ -186,13 +186,14 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     hb, wb = h // 2, w // 2
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
+    # floor is monotone: block-min BEFORE floor skips the full-res floors
     ymin = jnp.clip(
-        jnp.min(y0.reshape(b, hb, 2, wb, 2), axis=(2, 4)), -1.0, h - 1.0
+        jnp.floor(jnp.min(y.reshape(b, hb, 2, wb, 2), axis=(2, 4))),
+        -1.0, h - 1.0,
     )
     xmin = jnp.clip(
-        jnp.min(x0.reshape(b, hb, 2, wb, 2), axis=(2, 4)), -1.0, w - 1.0
+        jnp.floor(jnp.min(x.reshape(b, hb, 2, wb, 2), axis=(2, 4))),
+        -1.0, w - 1.0,
     )
     idx = (
         (ymin.astype(jnp.int32) + 1) * (w + 2) + xmin.astype(jnp.int32) + 1
@@ -201,6 +202,9 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
         patches.reshape(b, (h + 2) * (w + 2), 128), idx[..., None], axis=1
     ).reshape(b, hb, wb, 128)
 
+    # a blockwise (b,hb,2,wb,2,16)x(b,hb,wb,16,c) einsum was tried here and
+    # REGRESSED ~10 ms/frame at 1080p (lowers to batched tiny dots); the
+    # repeat + full-res elementwise-reduce formulation is the measured best
     G2x = jnp.repeat(jnp.repeat(G, 2, axis=1), 2, axis=2)
     ymin_px = jnp.repeat(jnp.repeat(ymin, 2, axis=1), 2, axis=2)
     xmin_px = jnp.repeat(jnp.repeat(xmin, 2, axis=1), 2, axis=2)
@@ -216,10 +220,12 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     # patch operand (~1 GB at 1080p); weight rounding is ~0.4% relative,
     # measured against reference warps by the fast-mode quality gate
     wgt = (hy[..., :, None] * hx[..., None, :]).reshape(b, h, w, 16)
+    # CPU's dot thunk rejects BF16xBF16=F32; tests run the f32 operands
+    wdt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     return jnp.einsum(
         "bhwk,bhwkc->bhwc",
-        wgt.astype(jnp.bfloat16),
-        G2x.reshape(b, h, w, 16, 8)[..., :c],
+        wgt.astype(wdt),
+        G2x.reshape(b, h, w, 16, 8)[..., :c].astype(wdt),
         preferred_element_type=jnp.float32,
     )
 

@@ -1,3 +1,4 @@
+from .spmd_predict import predict_scenes_spmd
 from .spmd_train import batched_records, scene_streams, train_scenes_spmd
 from .mesh import (
     carry_sharding,
@@ -18,6 +19,7 @@ __all__ = [
     "replicated",
     "shard_frames",
     "shard_params",
+    "predict_scenes_spmd",
     "scene_streams",
     "train_scenes_spmd",
 ]

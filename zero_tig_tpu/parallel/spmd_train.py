@@ -54,11 +54,13 @@ def scene_streams(
 
 def batched_records(
     dataset: FrameDataset, n_streams: int
-) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Yield ((B, H, W, 3) frames, (B,) is_new_seq) lockstep batches.
+) -> Iterator[tuple[np.ndarray, np.ndarray, list[str]]]:
+    """Yield ((B, H, W, 3) frames, (B,) is_new_seq, [B paths]) lockstep
+    batches.
 
     Streams shorter than the longest loop back to their start (their
-    re-entry is a new sequence, resetting that chip's carry).
+    re-entry is a new sequence, resetting that chip's carry; inference
+    drivers dedupe revisited paths).
     """
     streams = scene_streams(dataset, n_streams)
     if any(not s for s in streams):
@@ -72,14 +74,16 @@ def batched_records(
     for t in range(length):
         frames = []
         flags = []
+        paths = []
         for i, s in enumerate(streams):
             p = s[t % len(s)]
             # first frame self-compares -> new seq; wraparound jumps back to
             # a lower index -> new seq (both via sequential_judgment)
             flags.append(sequential_judgment(p, prevs[i]))
             prevs[i] = p
+            paths.append(p)
             frames.append(dataset.load_image(p))
-        yield np.stack(frames), np.asarray(flags)
+        yield np.stack(frames), np.asarray(flags), paths
 
 
 def train_scenes_spmd(
@@ -120,7 +124,7 @@ def train_scenes_spmd(
         for epoch in range(epochs):
             bn_train = epoch == 0
             losses = []
-            for step, (frames, flags) in enumerate(
+            for step, (frames, flags, _paths) in enumerate(
                 batched_records(dataset, n_data)
             ):
                 f = jax.device_put(jnp.asarray(frames), fs)

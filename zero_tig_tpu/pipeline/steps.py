@@ -108,7 +108,9 @@ def train_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("of_scale", "raft_iters", "enh_scale")
+)
 def predict_step(
     variables: dict,
     raft_vars: Any,
@@ -118,15 +120,18 @@ def predict_step(
     *,
     of_scale: int = 3,
     raft_iters: int = 12,
+    enh_scale: int = 1,
 ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
     """One inference frame: ((H2, H3, s3), new_carry)."""
     return forward_inference(
         variables, raft_vars, frame, carry, is_new_seq,
-        of_scale=of_scale, raft_iters=raft_iters,
+        of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("of_scale", "raft_iters", "enh_scale")
+)
 def predict_chunk(
     variables: dict,
     raft_vars: Any,
@@ -136,6 +141,7 @@ def predict_chunk(
     *,
     of_scale: int = 3,
     raft_iters: int = 12,
+    enh_scale: int = 1,
 ):
     """K frames of streaming inference as ONE lax.scan program.
 
@@ -149,7 +155,7 @@ def predict_chunk(
         frame, flag = inp
         outs, new_c = forward_inference(
             variables, raft_vars, frame, c, flag,
-            of_scale=of_scale, raft_iters=raft_iters,
+            of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
         )
         return new_c, outs
 
