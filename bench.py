@@ -80,9 +80,12 @@ def main() -> None:
         )
 
     def chunk_step(carry, fs, news):
+        # emit="u8": in-graph PNG quantization + s3 dropped from the
+        # emitted stack -- the serving operating point (7x less output
+        # traffic; PNGs bit-identical to host-side quantization)
         return predict_chunk(
             net_vars, raft_vars, fs, carry, news,
-            of_scale=OF_SCALE, raft_iters=RAFT_ITERS,
+            of_scale=OF_SCALE, raft_iters=RAFT_ITERS, emit="u8",
         )
 
     # warmup (compile) + prime the recurrence
@@ -107,7 +110,7 @@ def main() -> None:
         t1 = time.time()
         if CHUNK > 1:
             frames = frames + 0.0005 * (i % 2)
-            (H2s, H3s, s3s), carry = chunk_step(carry, frames, news)
+            (H2s, H3s), carry = chunk_step(carry, frames, news)
             # device->host readback: the only reliable full sync on the
             # experimental axon platform (block_until_ready returns early)
             float(H3s[-1, 0, 0, 0, 0])

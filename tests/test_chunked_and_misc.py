@@ -191,3 +191,27 @@ def test_train_step_hparams_are_dynamic():
     d1 = np.asarray(jax.tree_util.tree_leaves(st1.params)[0])
     d2 = np.asarray(jax.tree_util.tree_leaves(st2.params)[0])
     assert not np.allclose(d1, d2), "hyperparameters ignored"
+
+
+def test_predict_chunk_emit_u8_matches_host_quantization(setup):
+    """emit="u8" == host-side save_images_uint8 of the f32 emission,
+    bit for bit (same floats, same formula)."""
+    net_vars, raft_vars, frames, flags = setup
+    from zero_tig_tpu.cli.common import save_images_uint8
+
+    zeros = jnp.zeros_like(frames[0])
+    carry = {"last_H3": zeros, "last_s3": zeros}
+
+    (h2s, h3s, _s3s), _ = predict_chunk(
+        net_vars, raft_vars, frames, dict(carry), flags,
+        of_scale=2, raft_iters=2,
+    )
+    (h2u, h3u), _ = predict_chunk(
+        net_vars, raft_vars, frames, dict(carry), flags,
+        of_scale=2, raft_iters=2, emit="u8",
+    )
+    assert np.asarray(h3u).dtype == np.uint8
+    for f32, u8 in ((h2s, h2u), (h3s, h3u)):
+        np.testing.assert_array_equal(
+            np.asarray(u8), save_images_uint8(np.asarray(f32))
+        )

@@ -126,8 +126,14 @@ def _merge(base: dict, override: dict) -> dict:
 
 
 def save_images_uint8(img01) -> np.ndarray:
-    """float [0,1] (H, W, 3) -> uint8, reference clipping (train.py:58-62)."""
-    return np.clip(np.asarray(img01) * 255.0, 0, 255.0).astype("uint8")
+    """float [0,1] (H, W, 3) -> uint8, reference clipping (train.py:58-62).
+
+    uint8 input passes through untouched (predict_chunk emit="u8" applies
+    the identical formula in-graph)."""
+    a = np.asarray(img01)
+    if a.dtype == np.uint8:
+        return a
+    return np.clip(a * 255.0, 0, 255.0).astype("uint8")
 
 
 def write_png(path: str, img01) -> None:

@@ -72,9 +72,9 @@ def run_predict(config: Config) -> None:
             for rec in item.records:
                 if rec.is_new_seq:
                     print("Eval Get this img from: ", rec.path)
-            (H2s, H3s, _s3s), carry = predict_chunk(
+            (H2s, H3s), carry = predict_chunk(
                 net_vars, raft_vars, item.images, carry, item.flags,
-                **step_kwargs,
+                emit="u8", **step_kwargs,
             )
             for i, rec in enumerate(item.records):
                 _save_frame(config, rec, H2s[i], H3s[i])

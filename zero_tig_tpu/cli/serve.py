@@ -167,9 +167,9 @@ def run_serve(
                             carries[scene] = {
                                 "last_H3": zeros, "last_s3": zeros,
                             }
-                        (H2s, H3s, _s3s), carries[scene] = predict_chunk(
+                        (H2s, H3s), carries[scene] = predict_chunk(
                             net_vars, raft_vars, frames_k, carries[scene],
-                            jnp.asarray(flags), **sk,
+                            jnp.asarray(flags), emit="u8", **sk,
                         )
                         H2s = np.asarray(H2s)
                         H3s = np.asarray(H3s)

@@ -129,8 +129,18 @@ def predict_step(
     )
 
 
+def _quantize_u8(x):
+    """Reference PNG quantization (train.py:58-62) in-graph:
+    clip(x*255, 0, 255) truncated to uint8 -- bit-identical to
+    cli.common.save_images_uint8 on the same floats."""
+    import jax.numpy as jnp
+
+    return jnp.clip(x * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("of_scale", "raft_iters", "enh_scale")
+    jax.jit,
+    static_argnames=("of_scale", "raft_iters", "enh_scale", "emit"),
 )
 def predict_chunk(
     variables: dict,
@@ -142,6 +152,7 @@ def predict_chunk(
     of_scale: int = 3,
     raft_iters: int = 12,
     enh_scale: int = 1,
+    emit: str = "f32",
 ):
     """K frames of streaming inference as ONE lax.scan program.
 
@@ -149,6 +160,13 @@ def predict_chunk(
     Returns ((H2s, H3s, s3s) each (K, B, H, W, 3), final_carry). Amortizes
     per-step dispatch/launch latency over the chunk -- the sequence-scaling
     analogue of the reference's frame loop (SURVEY.md section 5).
+
+    emit="u8": the serving operating point -- H2/H3 are PNG-quantized
+    IN-GRAPH (the exact reference formula) and s3 is dropped from the
+    emitted stack (it lives on in the carry), returning
+    ((H2s_u8, H3s_u8), carry). Cuts the scan's output stacking and the
+    device->host transfer ~7x (u8 vs 3x f32); the written PNGs are
+    bit-identical to host-side quantization of the f32 emission.
     """
 
     def body(c, inp):
@@ -157,6 +175,9 @@ def predict_chunk(
             variables, raft_vars, frame, c, flag,
             of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
         )
+        if emit == "u8":
+            H2, H3, _s3 = outs
+            outs = (_quantize_u8(H2), _quantize_u8(H3))
         return new_c, outs
 
     carry, outs = jax.lax.scan(body, carry, (frames, is_new_seq))
