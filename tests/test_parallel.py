@@ -176,3 +176,39 @@ def test_scene_parallel_inference_matches_single_device(tmp_path):
     assert n == len(ref) == 6
     for p, h3 in ref.items():
         np.testing.assert_allclose(got[p], h3, atol=2e-5, err_msg=p)
+
+
+def test_spmd_cli_train_and_predict(tmp_path):
+    """--mesh_data 2 through the train AND predict CLIs: SPMD training
+    produces the reference artifact layout; sharded predict writes one
+    PNG pair per frame."""
+    import glob
+    import os
+
+    from zero_tig_tpu.cli.predict import run_predict
+    from zero_tig_tpu.cli.train import run_training
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.data import make_rlv_fixture
+
+    root = str(tmp_path / "rlv")
+    make_rlv_fixture(root, frames_per_scene=2, size=(64, 48))
+    cfg = Config(
+        lowlight_images_path=root, save=str(tmp_path / "exp"), dataset="RLV",
+        frame_width=64, frame_height=48, of_scale=2, raft_iters=2, epochs=1,
+        mesh_data=2,
+    )
+    run_dir = run_training(cfg)
+    weights = glob.glob(os.path.join(run_dir, "model_epochs", "weights_0.pt"))
+    assert weights
+    assert glob.glob(os.path.join(run_dir, "result", "denoise", "*.png"))
+
+    pcfg = Config(
+        lowlight_images_path=root, save=str(tmp_path / "pred"), dataset="RLV",
+        model_pretrain=weights[0],
+        frame_width=64, frame_height=48, of_scale=2, raft_iters=2,
+        mesh_data=2,
+    )
+    run_predict(pcfg)
+    outs = glob.glob(str(tmp_path / "pred" / "**" / "*_denoise.png"),
+                     recursive=True)
+    assert len(outs) == 4  # 2 scenes x 2 frames

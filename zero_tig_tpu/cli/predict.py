@@ -55,6 +55,27 @@ def run_predict(config: Config) -> None:
     )
     print("Total image number: ", str(len(test_ds)))
 
+    if config.mesh_data > 1:
+        # scene-parallel sharded inference (parallel/spmd_predict.py):
+        # --mesh_data N runs N scene streams in SPMD lockstep with
+        # chip-local carries; per-frame outputs equal the sequential path
+        from collections import namedtuple
+
+        from ..parallel import predict_scenes_spmd
+
+        Rec = namedtuple("Rec", "name path")
+        log.info("sharded inference: mesh_data=%d", config.mesh_data)
+
+        def on_frame(path, H2, H3, _s3):
+            rec = Rec(os.path.splitext(os.path.basename(path))[0], path)
+            _save_frame(config, rec, H2[None], H3[None])  # (1, H, W, 3)
+
+        n = predict_scenes_spmd(
+            config, test_ds, net_vars, raft_vars, on_frame
+        )
+        log.info("sharded inference served %d frames", n)
+        return
+
     step_kwargs = dict(
         of_scale=config.of_scale, raft_iters=config.raft_iters,
         enh_scale=config.enh_scale,

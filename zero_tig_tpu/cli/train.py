@@ -85,6 +85,45 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
             log.info("Resumed full train state from %s (epoch %d)",
                      ckpt, start_epoch)
 
+    if config.mesh_data > 1:
+        # scene-parallel SPMD training (parallel/spmd_train.py): B scene
+        # streams in lockstep on the (data x spatial) mesh. A different
+        # (better-conditioned) trajectory than the reference's strict
+        # batch-1 sequential loop -- the intended production scale-out.
+        from ..parallel import make_mesh, train_scenes_spmd
+
+        log.info(
+            "SPMD training: mesh=(%d x %d)",
+            config.mesh_data, config.mesh_spatial,
+        )
+        mesh = make_mesh(config.mesh_data, config.mesh_spatial)
+        spmd_state = None
+        for epoch in range(start_epoch, config.epochs):
+            spmd_state = train_scenes_spmd(
+                config, train_ds, raft_vars, net_vars=net_vars,
+                epochs=1, epoch_offset=epoch, state=spmd_state, mesh=mesh,
+                log_fn=log.info,
+            )
+            host_state = jax.tree_util.tree_map(np.asarray, spmd_state)
+            net_out = {
+                "params": host_state.params,
+                "batch_stats": host_state.batch_stats,
+            }
+            save_msgpack(
+                os.path.join(model_dir, f"weights_{epoch}.msgpack"), net_out
+            )
+            try:
+                save_torch_pt(
+                    os.path.join(model_dir, f"weights_{epoch}.pt"),
+                    net_out, jax.tree_util.tree_map(np.asarray, raft_vars),
+                )
+            except ImportError:
+                log.warning("torch unavailable: skipped .pt export")
+            _dump_eval_images(
+                config, host_state, raft_vars, test_ds, run_dir, epoch
+            )
+        return run_dir
+
     step_kwargs = dict(
         of_scale=config.of_scale,
         raft_iters=config.raft_iters,

@@ -93,25 +93,33 @@ def train_scenes_spmd(
     *,
     net_vars: dict | None = None,
     epochs: int | None = None,
+    epoch_offset: int = 0,
+    state: TrainState | None = None,
     mesh=None,
     log_fn=print,
 ) -> TrainState:
-    """Train over B = mesh data-axis scene streams in SPMD lockstep."""
+    """Train over B = mesh data-axis scene streams in SPMD lockstep.
+
+    state/epoch_offset let a caller drive one epoch at a time (the train
+    CLI does, to save per-epoch artifacts): the BN schedule quirk keys on
+    the ABSOLUTE epoch (epoch_offset + loop index).
+    """
     if mesh is None:
         mesh = make_mesh(config.mesh_data, config.mesh_spatial)
     n_data = mesh.shape["data"]
     if net_vars is None:
         net_vars = init_network_variables(jax.random.PRNGKey(config.seed))
 
-    shape = (n_data, config.frame_height, config.frame_width, 3)
-    state = init_train_state(config, net_vars, shape)
     fs = frame_sharding(mesh)
-    state = state._replace(
-        params=shard_params(mesh, state.params),
-        batch_stats=shard_params(mesh, state.batch_stats),
-        opt_state=shard_params(mesh, state.opt_state),
-        carry=jax.device_put(state.carry, fs),
-    )
+    if state is None:
+        shape = (n_data, config.frame_height, config.frame_width, 3)
+        state = init_train_state(config, net_vars, shape)
+        state = state._replace(
+            params=shard_params(mesh, state.params),
+            batch_stats=shard_params(mesh, state.batch_stats),
+            opt_state=shard_params(mesh, state.opt_state),
+            carry=jax.device_put(state.carry, fs),
+        )
     raft_vars = shard_params(mesh, raft_vars)
 
     step_kwargs = dict(
@@ -121,7 +129,8 @@ def train_scenes_spmd(
     )
     epochs = config.epochs if epochs is None else epochs
     with jax.sharding.set_mesh(mesh):
-        for epoch in range(epochs):
+        for rel_epoch in range(epochs):
+            epoch = epoch_offset + rel_epoch
             bn_train = epoch == 0
             losses = []
             for step, (frames, flags, _paths) in enumerate(
