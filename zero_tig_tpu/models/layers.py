@@ -68,8 +68,9 @@ class Conv(nn.Module):
         # bf16 in/out: the MXU accumulates f32 internally either way; an f32
         # preferred_element_type with bf16 operands breaks the conv
         # transpose rule (mixed-dtype args in the backward).
-        # (A dot_general lowering for the 1x1 convs was measured SLOWER
-        # end-to-end than XLA's conv at 1080p: 69.1 vs 67.6 ms/frame.)
+        # (Two dot_general lowerings for the 1x1 convs were measured SLOWER
+        # end-to-end than XLA's conv at 1080p: rank-4 contraction +1.6
+        # ms/frame, flat-2D reshape +2.3 ms/frame.)
         out = jax.lax.conv_general_dilated(
             x.astype(cdt),
             w.astype(cdt),
