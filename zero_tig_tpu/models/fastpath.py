@@ -23,11 +23,14 @@ import jax.numpy as jnp
 
 from ..ops.pack_conv import (
     build_weight_blocks,
+    build_weight_blocks_multi,
     conv3x3_packed,
+    conv3x3_packed_multi,
     matmul1x1_packed,
     pack,
     pair_params,
     residual1x1_packed,
+    residual1x1_packed_multi,
     unpack,
 )
 
@@ -85,6 +88,87 @@ def denoise2_H5_packed(
     return residual1x1_packed(
         p, anchor_p, params["conv3"]["kernel"][0, 0], params["conv3"]["bias"],
         h=h, w_img=w, interpret=_interp(),
+    )
+
+
+def denoise2_H5_packed_multi(
+    params: dict,
+    parts: list[jax.Array],
+    anchor_parts: list[jax.Array],
+    h: int,
+    w: int,
+) -> jax.Array:
+    """denoise2_H5_packed with the 12-channel input concat AND the (H2, s2)
+    anchor concat assembled in VMEM (multi-input kernels) instead of HBM.
+
+    parts: [w2_p (N,12), H2_p (N,6), s2_p (N,6)] in reference channel order
+    (model/model.py:334); anchor_parts: [H2_p, s2_p]."""
+    it = _interp()
+    splits = tuple(x.shape[-1] // 2 for x in parts)
+    p = conv3x3_packed_multi(
+        parts,
+        build_weight_blocks_multi(params["conv1"]["kernel"], splits),
+        _ones(48), pair_params(params["conv1"]["bias"]),
+        h=h, w=w, act="leaky", interpret=it,
+    )
+    p = conv3x3_packed(
+        p, build_weight_blocks(params["conv2"]["kernel"]),
+        _ones(48), pair_params(params["conv2"]["bias"]),
+        h=h, w=w, act="leaky", interpret=it,
+    )
+    return residual1x1_packed_multi(
+        p, anchor_parts,
+        params["conv3"]["kernel"][0, 0], params["conv3"]["bias"],
+        h=h, w_img=w, interpret=it,
+    )
+
+
+def enhancer_packed_multi(
+    params: dict,
+    batch_stats: dict,
+    parts: list[jax.Array],
+    h: int,
+    w: int,
+) -> jax.Array:
+    """enhancer_packed with the 9-channel input concat assembled in VMEM.
+
+    parts: [w_p (N,12), L2_p (N,6)] in reference channel order
+    (model/model.py:326)."""
+    splits = tuple(x.shape[-1] // 2 for x in parts)
+    p = conv3x3_packed_multi(
+        parts,
+        build_weight_blocks_multi(params["in_conv"]["kernel"], splits),
+        _ones(64), pair_params(params["in_conv"]["bias"]),
+        h=h, w=w, act="relu", interpret=_interp(),
+    )
+    return _enhancer_tail(params, batch_stats, p, h, w)
+
+
+def _enhancer_tail(
+    params: dict, batch_stats: dict, p: jax.Array, h: int, w: int
+) -> jax.Array:
+    it = _interp()
+    bn = params["block"]["bn"]
+    stats = batch_stats["block"]["bn"]
+    inv = jax.lax.rsqrt(stats["var"].astype(jnp.float32) + _BN_EPS)
+    bn_scale = bn["scale"].astype(jnp.float32) * inv
+    bn_shift = (
+        bn["bias"].astype(jnp.float32)
+        + (params["block"]["conv"]["bias"].astype(jnp.float32)
+           - stats["mean"].astype(jnp.float32)) * bn_scale
+    )
+    shared_wb = build_weight_blocks(params["block"]["conv"]["kernel"])
+    shared_sc = pair_params(bn_scale)
+    shared_sh = pair_params(bn_shift)
+    for _ in range(3):
+        p = conv3x3_packed(
+            p, shared_wb, shared_sc, shared_sh,
+            h=h, w=w, act="relu", residual=True, interpret=it,
+        )
+    return conv3x3_packed(
+        p, build_weight_blocks(params["out_conv"]["kernel"]),
+        _ones(3), pair_params(params["out_conv"]["bias"]),
+        h=h, w=w, act="sigmoid_clip", interpret=it,
     )
 
 

@@ -445,8 +445,8 @@ def _forward_inference_packed(
     from ..ops import pack_conv as pcv
     from .fastpath import (
         denoise1_L2_packed,
-        denoise2_H5_packed,
-        enhancer_packed,
+        denoise2_H5_packed_multi,
+        enhancer_packed_multi,
     )
 
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -470,11 +470,10 @@ def _forward_inference_packed(
     flag = jnp.reshape(is_new_seq, ())
     w_p = jnp.where(flag, jnp.zeros_like(w_p), w_p)
 
-    enh_in_p = jnp.concatenate(
-        [w_p[:, :6], L2_p[:, :3], w_p[:, 6:], L2_p[:, 3:]], axis=1
-    )  # (N, 18): 9ch per pixel in reference channel order
-    s2_p = enhancer_packed(
-        params["enhance"], batch_stats["enhance"], enh_in_p, h, w
+    # 9ch enhancer input = [w_p | L2_p]: the channel interleave happens in
+    # VMEM inside the multi-input kernel, never in HBM
+    s2_p = enhancer_packed_multi(
+        params["enhance"], batch_stats["enhance"], [w_p, L2_p], h, w
     )
     # H2 = clamp(input/s2); s2's ring is 0 -> guard 0/0 so the ring stays 0
     H2_p = jnp.where(
@@ -487,15 +486,10 @@ def _forward_inference_packed(
     )
     w_p = jnp.where(flag, h2_sub, w_p)
 
-    d2_in_p = jnp.concatenate(
-        [w_p[:, :6], H2_p[:, :3], s2_p[:, :3],
-         w_p[:, 6:], H2_p[:, 3:], s2_p[:, 3:]], axis=1,
-    )  # (N, 24): 12ch per pixel
-    anchor_p = jnp.concatenate(
-        [H2_p[:, :3], s2_p[:, :3], H2_p[:, 3:], s2_p[:, 3:]], axis=1
-    )  # (N, 12): cat([H2, s2])
-    H5_p = denoise2_H5_packed(
-        params["denoise_2"], d2_in_p, anchor_p, h, w
+    # 12ch refiner input [w_p | H2 | s2] and the cat([H2, s2]) anchor are
+    # both assembled in VMEM by the multi-input kernels
+    H5_p = denoise2_H5_packed_multi(
+        params["denoise_2"], [w_p, H2_p, s2_p], [H2_p, s2_p], h, w
     )
 
     H3_p = jnp.concatenate([H5_p[:, 0:3], H5_p[:, 6:9]], axis=1)

@@ -250,6 +250,157 @@ def pair_params(v: jax.Array) -> jax.Array:
     return jnp.concatenate([v, v], axis=0)
 
 
+def build_weight_blocks_multi(
+    w_hwio: jax.Array, splits: tuple[int, ...]
+) -> jax.Array:
+    """Weight blocks for a MULTI-INPUT packed conv: the operand is the
+    in-kernel lane concatenation of J separately packed inputs (input j
+    contributing lanes [2*sum(splits[:j]), ...) as [parity0 c_j |
+    parity1 c_j]), avoiding the HBM materialization of the channel
+    concat that XLA glue would otherwise write (profiled 2-3 ms per
+    (N, 2C<=24) operand at 1080p). w_hwio's input-channel dim is the
+    SEMANTIC order = concat(splits). Returns (9*2Cin, 2Cout) bf16."""
+    _, _, cin, cout = w_hwio.shape
+    assert sum(splits) == cin, (splits, cin)
+    w = w_hwio.astype(jnp.float32)
+    blocks = jnp.zeros((9, 2 * cin, 2 * cout), jnp.float32)
+    for dy in range(3):
+        for si, s in enumerate((-1, 0, 1)):
+            k = dy * 3 + si
+            for q_in in range(2):
+                for q_out in range(2):
+                    dx = 2 * s + q_in - q_out
+                    if abs(dx) > 1:
+                        continue
+                    base = 0
+                    off = 0
+                    for cj in splits:
+                        blocks = blocks.at[
+                            k,
+                            base + q_in * cj : base + (q_in + 1) * cj,
+                            q_out * cout : (q_out + 1) * cout,
+                        ].set(w[dy, dx + 1, off : off + cj])
+                        base += 2 * cj
+                        off += cj
+    return blocks.reshape(9 * 2 * cin, 2 * cout).astype(jnp.bfloat16)
+
+
+def _kernel_multi(*refs, bh, hal, wpp, cin2s, cout2, act, residual):
+    nin = len(cin2s)
+    wb_ref = refs[3 * nin]
+    sc_ref = refs[3 * nin + 1]
+    sh_ref = refs[3 * nin + 2]
+    mask_ref = refs[3 * nin + 3]
+    o_ref = refs[3 * nin + 4]
+    wins = []
+    for j in range(nin):
+        xm1, x0, xp1 = refs[3 * j : 3 * j + 3]
+        wins.append(
+            jnp.concatenate(
+                [xm1[bh - hal :, :], x0[...], xp1[:hal, :]], axis=0
+            )
+        )
+    cin2 = sum(cin2s)
+    acc = jnp.zeros((bh, cout2), jnp.float32)
+    for dy in range(3):
+        for si, s in enumerate((-1, 0, 1)):
+            k = dy * 3 + si
+            off = hal + (dy - 1) * wpp + s
+            operand = jnp.concatenate(
+                [win[off : off + bh, :] for win in wins], axis=1
+            )
+            acc += jax.lax.dot_general(
+                operand,
+                wb_ref[k * cin2 : (k + 1) * cin2, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc * sc_ref[...] + sh_ref[...]
+    if act == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    elif act == "leaky":
+        acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    elif act == "sigmoid_clip":
+        acc = jnp.clip(jax.nn.sigmoid(acc), 0.0001, 1.0)
+    o_ref[...] = (acc * mask_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def conv3x3_packed_multi(
+    xps: list[jax.Array],
+    wblocks: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    *,
+    h: int,
+    w: int,
+    act: str = "none",
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-input fused 3x3 conv: the channel concat of the packed inputs
+    happens in VMEM (per-tap lane concat), never in HBM.
+
+    xps: packed inputs [(N, 2c_j)...] with zeroed rings; wblocks from
+    build_weight_blocks_multi with matching splits.
+    """
+    hp, wp = _hp_pad(h), w + 2
+    wpp = wp // 2
+    n = hp * wpp
+    bh = 4 * wp
+    hal = ((wpp + 1 + 7) // 8) * 8
+    assert n % bh == 0 and bh % 8 == 0 and bh >= hal, (n, bh, hal)
+    grid = n // bh
+    cin2s = tuple(x.shape[-1] for x in xps)
+    cout2 = wblocks.shape[-1]
+    masks = _ring_masks(h, w, cout2)
+
+    if grid == 1:
+        mask_index = lambda i: (3, 0, 0)
+    else:
+        mask_index = lambda i, g=grid: (
+            jnp.where(i == 0, 0, jnp.where(i == g - 1, 2, 1)), 0, 0,
+        )
+
+    kern = functools.partial(
+        _kernel_multi, bh=bh, hal=hal, wpp=wpp,
+        cin2s=cin2s, cout2=cout2, act=act, residual=False,
+    )
+    in_specs = []
+    args = []
+    for x, c2 in zip(xps, cin2s):
+        xb = x.astype(jnp.bfloat16)
+        in_specs += [
+            pl.BlockSpec((bh, c2), lambda i: (jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((bh, c2), lambda i: (i, 0)),
+            pl.BlockSpec(
+                (bh, c2), lambda i, g=grid: (jnp.minimum(i + 1, g - 1), 0)
+            ),
+        ]
+        args += [xb, xb, xb]
+    in_specs += [
+        pl.BlockSpec((wblocks.shape[0], cout2), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout2), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout2), lambda i: (0, 0)),
+        pl.BlockSpec((1, bh, cout2), mask_index),
+    ]
+    args += [
+        wblocks,
+        scale.astype(jnp.float32).reshape(1, cout2),
+        shift.astype(jnp.float32).reshape(1, cout2),
+        masks,
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bh, cout2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, cout2), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _res1x1_kernel(
     x_ref, a_ref, wb_ref, b_ref, mask_ref, o_ref, *, lo: float, hi: float
 ):
@@ -259,6 +410,92 @@ def _res1x1_kernel(
     ) + b_ref[...]
     out = jnp.clip(a_ref[...].astype(jnp.float32) - out, lo, hi)
     o_ref[...] = (out * mask_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _res1x1_multi_kernel(
+    *refs, nanch: int, lo: float, hi: float
+):
+    x_ref = refs[0]
+    anchors = refs[1 : 1 + nanch]
+    wb_ref, b_ref, mask_ref, o_ref = refs[1 + nanch :]
+    # anchor lane order [p0 (c_0..c_{J-1}) | p1 (...)]: interleave halves
+    parts = [a[...][:, : a.shape[-1] // 2] for a in anchors] + [
+        a[...][:, a.shape[-1] // 2 :] for a in anchors
+    ]
+    anchor = jnp.concatenate(parts, axis=1)
+    out = jax.lax.dot_general(
+        x_ref[...], wb_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...]
+    out = jnp.clip(anchor.astype(jnp.float32) - out, lo, hi)
+    o_ref[...] = (out * mask_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def residual1x1_packed_multi(
+    xp: jax.Array,
+    anchors: list[jax.Array],
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    h: int,
+    w_img: int,
+    lo: float = 1e-4,
+    hi: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """residual1x1_packed with the anchor assembled IN VMEM from separately
+    packed parts (semantic channel order = concat of the parts), skipping
+    the HBM materialization of the anchor concat."""
+    hp, wp = _hp_pad(h), w_img + 2
+    n = hp * wp // 2
+    bh = 4 * wp
+    grid = n // bh
+    cin2 = xp.shape[-1]
+    cin = cin2 // 2
+    cout = w.shape[-1]
+    cout2 = 2 * cout
+    assert sum(a.shape[-1] for a in anchors) == cout2, (cout2,)
+    masks = _ring_masks(h, w_img, cout2)
+
+    wb = jnp.zeros((2 * cin, cout2), jnp.bfloat16)
+    wb = wb.at[:cin, :cout].set(w.astype(jnp.bfloat16))
+    wb = wb.at[cin:, cout:].set(w.astype(jnp.bfloat16))
+
+    if grid == 1:
+        mask_index = lambda i: (3, 0, 0)
+    else:
+        mask_index = lambda i, g=grid: (
+            jnp.where(i == 0, 0, jnp.where(i == g - 1, 2, 1)), 0, 0,
+        )
+    kern = functools.partial(
+        _res1x1_multi_kernel, nanch=len(anchors), lo=lo, hi=hi
+    )
+    in_specs = [pl.BlockSpec((bh, cin2), lambda i: (i, 0))]
+    args = [xp.astype(jnp.bfloat16)]
+    for a in anchors:
+        in_specs.append(pl.BlockSpec((bh, a.shape[-1]), lambda i: (i, 0)))
+        args.append(a.astype(jnp.bfloat16))
+    in_specs += [
+        pl.BlockSpec((2 * cin, cout2), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout2), lambda i: (0, 0)),
+        pl.BlockSpec((1, bh, cout2), mask_index),
+    ]
+    args += [
+        wb,
+        pair_params(b).astype(jnp.float32).reshape(1, cout2),
+        masks,
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bh, cout2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, cout2), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def residual1x1_packed(
