@@ -20,6 +20,7 @@ from jax import lax
 _MODE = "highest"
 _REMAT = True
 _PACK_CONV = False
+_XPACK = frozenset({"enh", "d2"})
 
 
 def set_precision(mode: str) -> None:
@@ -61,6 +62,45 @@ def set_pack_conv(enabled: bool) -> None:
 
 def get_pack_conv() -> bool:
     return _PACK_CONV
+
+
+def set_xpack(parts) -> None:
+    """Packed-pair conv LAYOUT on the fast inference path (ops/xpack.py):
+    selected conv stacks and their glue run on (B, H, W/2, 2C) operands as
+    plain XLA convs, halving lane-padded HBM traffic (measured 1.73 vs
+    2.38 ms per 64ch 3x3 layer at 1080p, one v5e). Pure-XLA -- composes
+    with fusion, works on any backend.
+
+    parts: which stacks to pack --
+      * True  -> {"enh", "d2"} (the measured-best default: 65.7 -> 54.1
+        ms/frame, 15.2 -> 18.5 fps, 1080p chunk-32 on one v5e)
+      * False -> disabled
+      * an iterable over {"d1", "enh", "d2"} for explicit control.
+
+    Packing DENOISE_1 is a measured LOSS despite its per-conv win: d1
+    feeds the warp branch, and its small packed channel counts (6-lane
+    output) there tip XLA's global layout assignment into materializing
+    the warp's 532 MB patchify gather table through a 128-step zero-fill
+    loop + relayout copy (~31 ms/frame). Measured 1080p chunk-32 sweep:
+    off 65.7, {enh} 58.0, {enh,d2} 54.1, {enh,d1} 85.0, all 81.0 -- and
+    the zero-fill loop is present in the HLO exactly when d1 is packed
+    (NOTES_ROUND3.md). Read at trace time; only consulted when the mode
+    is 'fast'."""
+    global _XPACK
+    if parts is True:
+        _XPACK = frozenset({"enh", "d2"})
+    elif not parts:
+        _XPACK = frozenset()
+    else:
+        parts = frozenset(parts)
+        unknown = parts - {"d1", "enh", "d2"}
+        if unknown:
+            raise ValueError(f"unknown xpack parts {sorted(unknown)}")
+        _XPACK = parts
+
+
+def get_xpack() -> frozenset:
+    return _XPACK
 
 
 def conv_precision() -> lax.Precision:

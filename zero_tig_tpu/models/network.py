@@ -325,8 +325,13 @@ def forward_inference(
     of_scale: int = 3,
     raft_iters: int = 12,
     enh_scale: int = 1,
+    xpack_pre: dict | None = None,
 ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
     """Inference forward. Parity: Finetunemodel.forward (model/model.py:312-340).
+
+    xpack_pre: optional packed-weight pytree from xpack_precompute --
+    scan-based callers (pipeline.predict_chunk) hoist the weight packing
+    out of their loop body by passing it; None packs inline.
 
     Quirk preserved: on a new sequence the refiner's "warped previous" input
     is H2 itself, not zeros (model/model.py:330-332). BatchNorm runs in eval
@@ -346,7 +351,7 @@ def forward_inference(
     # elementwise materialization costs ~42x its logical bytes; bf16 halves
     # that and matches the convs' compute dtype. Outputs/carry are cast
     # back to f32 (external contract; scan carry dtype stability).
-    from ..core.precision import get_mode, get_pack_conv
+    from ..core.precision import get_mode, get_pack_conv, get_xpack
 
     fast = get_mode() == "fast"
     h, w = frame.shape[1], frame.shape[2]
@@ -358,11 +363,20 @@ def forward_inference(
         and h % 2 == 0
         and w % 2 == 0
     ):
-        # fully packed-pair fast path: conv stacks AND their glue stay in
-        # the (N, 2C) layout (models/fastpath.py, ops/pack_conv.py)
+        # experimental Pallas packed-pair path (ops/pack_conv.py) -- wins
+        # per-kernel, loses end-to-end to custom-call boundaries; opt-in
         return _forward_inference_packed(
             variables, raft_vars, frame, carry, is_new_seq,
             of_scale=of_scale, raft_iters=raft_iters,
+        )
+    if fast and get_xpack() and enh_scale == 1 and w % 2 == 0:
+        # packed-pair LAYOUT on selected conv stacks, plain XLA convs
+        # (ops/xpack.py, models/xla_fastpath.py). Default {"enh","d2"}:
+        # 65.7 -> 54.1 ms/frame at 1080p chunk-32; packing d1 regresses
+        # (see precision.set_xpack docstring)
+        return _forward_inference_xpack(
+            variables, raft_vars, frame, carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, pre=xpack_pre,
         )
 
     d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
@@ -417,6 +431,110 @@ def forward_inference(
     H2 = H2.astype(jnp.float32)
     H3 = H3.astype(jnp.float32)
     s3 = s3.astype(jnp.float32)
+    new_carry = {"last_H3": H3, "last_s3": s3}
+    return (H2, H3, s3), new_carry
+
+
+def xpack_precompute(
+    variables: dict, width: int, enh_scale: int = 1
+) -> dict | None:
+    """Packed-pair weights for the xpack fast path, or None when the path
+    won't dispatch (mirrors forward_inference's routing condition).
+    Chunked callers call this OUTSIDE their scan body and pass the pytree
+    down so the packing is explicitly once-per-program (XLA's loop-invariant
+    code motion also handles inline packing -- measured identical -- but
+    explicit is structural hygiene, not a trust exercise)."""
+    from ..core.precision import get_mode, get_pack_conv, get_xpack
+    from .xla_fastpath import precompute
+
+    parts = get_xpack()
+    if (
+        get_mode() == "fast"
+        and parts
+        and not get_pack_conv()
+        and enh_scale == 1
+        and width % 2 == 0
+    ):
+        return precompute(
+            variables["params"], variables["batch_stats"], parts
+        )
+    return None
+
+
+def _forward_inference_xpack(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int,
+    raft_iters: int,
+    pre: dict | None = None,
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
+    """forward_inference with a configurable subset of the conv stacks on
+    the XLA packed-pair layout (B, H, W/2, 2C) -- precision.set_xpack.
+
+    Same math/detach/quirk structure as forward_inference (Parity:
+    Finetunemodel.forward, model/model.py:312-340). pack2/unpack2 at the
+    stack boundaries are contiguous (W, C)-merge reshapes -- bitcasts in
+    row-major NHWC, so per-stack packing costs nothing at the seams.
+    SAME-padded packed convs reproduce zero-padded conv semantics exactly.
+    """
+    from ..core.precision import get_xpack
+    from ..ops.xpack import pack2, unpack2
+    from .xla_fastpath import denoise1_xp, denoise2_xp, enhancer_xp, precompute
+
+    parts = get_xpack()
+    if pre is None:
+        pre = precompute(variables["params"], variables["batch_stats"], parts)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    inp = (frame + EPS).astype(jnp.bfloat16)
+    if "d1" in parts:
+        inp_p = pack2(inp)
+        L2 = unpack2(jnp.clip(inp_p - denoise1_xp(pre, inp_p), EPS, 1.0))
+    else:
+        d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
+        L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
+
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"].astype(jnp.bfloat16),
+        carry["last_s3"].astype(jnp.bfloat16),
+        L2,
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    w6 = jnp.concatenate([warped_H3, warped_s3], -1).astype(jnp.bfloat16)
+    w6 = jnp.where(new_flag, jnp.zeros_like(w6), w6)
+
+    enh_in = jnp.concatenate([w6, L2], axis=-1)
+    if "enh" in parts:
+        s2 = unpack2(enhancer_xp(pre, pack2(enh_in)))
+    else:
+        s2 = ENHANCER.apply(
+            {"params": params["enhance"],
+             "batch_stats": batch_stats["enhance"]},
+            enh_in, use_running_average=True,
+        )
+    H2 = jnp.clip(inp / s2, EPS, 1.0)
+
+    # new-sequence quirk (model/model.py:330-332): warped prev := H2
+    w6 = jnp.where(new_flag, jnp.concatenate([H2, H2], -1), w6)
+
+    d2_in = jnp.concatenate([w6, H2, s2], axis=-1)
+    if "d2" in parts:
+        resid = unpack2(denoise2_xp(pre, pack2(d2_in)))
+    else:
+        d2 = lambda x: DENOISE_2.apply({"params": params["denoise_2"]}, x)
+        resid = d2(d2_in)
+    H5 = jnp.clip(jnp.concatenate([H2, s2], -1) - resid, EPS, 1.0)
+
+    H2 = H2.astype(jnp.float32)
+    H3 = H5[..., :3].astype(jnp.float32)
+    s3 = H5[..., 3:].astype(jnp.float32)
     new_carry = {"last_H3": H3, "last_s3": s3}
     return (H2, H3, s3), new_carry
 

@@ -24,7 +24,7 @@ import optax
 
 from ..core.config import Config
 from ..losses.zero_tig_loss import zero_tig_loss
-from ..models.network import forward_inference, forward_train
+from ..models.network import forward_inference, forward_train, xpack_precompute
 
 
 class TrainState(NamedTuple):
@@ -169,11 +169,16 @@ def predict_chunk(
     bit-identical to host-side quantization of the f32 emission.
     """
 
+    # pack the xpack-layout conv weights once, outside the scan body
+    # (see models.network.xpack_precompute)
+    xpack_pre = xpack_precompute(variables, frames.shape[3], enh_scale)
+
     def body(c, inp):
         frame, flag = inp
         outs, new_c = forward_inference(
             variables, raft_vars, frame, c, flag,
             of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
+            xpack_pre=xpack_pre,
         )
         if emit == "u8":
             H2, H3, _s3 = outs
