@@ -20,7 +20,7 @@ from jax import lax
 _MODE = "highest"
 _REMAT = True
 _PACK_CONV = False
-_XPACK = frozenset({"enh", "d2"})
+_XPACK = frozenset({"d1", "enh", "d2"})
 
 
 def set_precision(mode: str) -> None:
@@ -72,23 +72,26 @@ def set_xpack(parts) -> None:
     with fusion, works on any backend.
 
     parts: which stacks to pack --
-      * True  -> {"enh", "d2"} (the measured-best default: 65.7 -> 54.1
-        ms/frame, 15.2 -> 18.5 fps, 1080p chunk-32 on one v5e)
+      * True  -> {"d1", "enh", "d2"} (the measured-best default: 65.7 ->
+        50.9 ms/frame, 15.2 -> 19.7 fps, 1080p chunk-32 on one v5e)
       * False -> disabled
       * an iterable over {"d1", "enh", "d2"} for explicit control.
 
-    Packing DENOISE_1 is a measured LOSS despite its per-conv win: d1
-    feeds the warp branch, and its small packed channel counts (6-lane
-    output) there tip XLA's global layout assignment into materializing
-    the warp's 532 MB patchify gather table through a 128-step zero-fill
-    loop + relayout copy (~31 ms/frame). Measured 1080p chunk-32 sweep:
-    off 65.7, {enh} 58.0, {enh,d2} 54.1, {enh,d1} 85.0, all 81.0 -- and
-    the zero-fill loop is present in the HLO exactly when d1 is packed
-    (NOTES_ROUND3.md). Read at trace time; only consulted when the mode
+    Lane-alignment constraint (learned the hard way): every packed
+    tensor's channel count must be a multiple of 8 lanes. Denoise_1's
+    natural packed IO is 6 lanes, and at 1080p that tipped XLA's global
+    layout assignment into materializing the warp's 532 MB patchify
+    gather table through a channel-major 128-step zero-fill loop +
+    relayout copy (~31 ms/frame: {enh,d1} measured 85.0 vs {enh} 58.0,
+    with the loop present in the HLO exactly when d1 was packed).
+    xla_fastpath zero-pads d1's packed IO to 8 lanes -- exactly equal
+    math -- which removes the trigger: all-packed drops to 50.9 ms/frame
+    (sweep: off 65.7, {enh} 58.0, {enh,d2} 54.1, all+pad 50.9;
+    NOTES_ROUND3.md). Read at trace time; only consulted when the mode
     is 'fast'."""
     global _XPACK
     if parts is True:
-        _XPACK = frozenset({"enh", "d2"})
+        _XPACK = frozenset({"d1", "enh", "d2"})
     elif not parts:
         _XPACK = frozenset()
     else:

@@ -371,8 +371,8 @@ def forward_inference(
         )
     if fast and get_xpack() and enh_scale == 1 and w % 2 == 0:
         # packed-pair LAYOUT on selected conv stacks, plain XLA convs
-        # (ops/xpack.py, models/xla_fastpath.py). Default {"enh","d2"}:
-        # 65.7 -> 54.1 ms/frame at 1080p chunk-32; packing d1 regresses
+        # (ops/xpack.py, models/xla_fastpath.py). Default all three
+        # (d1 8-lane-padded): 65.7 -> 50.9 ms/frame at 1080p chunk-32
         # (see precision.set_xpack docstring)
         return _forward_inference_xpack(
             variables, raft_vars, frame, carry, is_new_seq,
@@ -492,8 +492,12 @@ def _forward_inference_xpack(
 
     inp = (frame + EPS).astype(jnp.bfloat16)
     if "d1" in parts:
-        inp_p = pack2(inp)
-        L2 = unpack2(jnp.clip(inp_p - denoise1_xp(pre, inp_p), EPS, 1.0))
+        # 4th input channel zero-padded so every packed tensor is a
+        # multiple of 8 lanes (xla_fastpath._pack_denoise); the padded
+        # residual channel is sliced away after unpacking
+        inp4_p = pack2(jnp.pad(inp, ((0, 0), (0, 0), (0, 0), (0, 1))))
+        r = unpack2(denoise1_xp(pre, inp4_p))[..., :3]
+        L2 = jnp.clip(inp - r, EPS, 1.0)
     else:
         d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
         L2 = jnp.clip(inp - d1(inp), EPS, 1.0)

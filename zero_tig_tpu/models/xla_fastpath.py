@@ -1,7 +1,7 @@
 """Fast-mode conv stacks on the XLA packed-pair layout (ops/xpack.py);
-stack selection via precision.set_xpack (default: enhancer + Denoise_2,
-the measured end-to-end winner -- see that docstring for why packing
-Denoise_1 regresses despite winning per-conv).
+stack selection via precision.set_xpack (default: all three stacks, with
+Denoise_1's packed IO zero-padded to 8 lanes -- see that docstring for
+the lane-alignment constraint the padding satisfies).
 
 The whole inference conv chain -- Denoise_1, Enhancer, Denoise_2 and the
 elementwise glue between them -- runs on (B, H, W/2, 2C) operands, halving
@@ -52,14 +52,32 @@ def folded_bn(params: dict, batch_stats: dict) -> tuple[jax.Array, jax.Array]:
     return scale, shift
 
 
-def _pack_denoise(params: dict) -> dict:
+def _pad_ch(w: jax.Array, cin_pad: int, cout_pad: int) -> jax.Array:
+    """Zero-pad a (kh, kw, cin, cout) kernel's channel dims."""
+    return jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, cout_pad)))
+
+
+def _pack_denoise(params: dict, cin_pad: int = 0, cout_pad: int = 0) -> dict:
+    """Pack a denoiser; optionally zero-pad its packed-layout IO channels.
+
+    Denoise_1's natural packed IO is 6 lanes (2x3 ch) -- NOT a multiple of
+    the 8-sublane tile, and at 1080p that tips XLA's global layout
+    assignment into a catastrophic channel-major layout for the warp's
+    patchify gather table downstream (~31 ms/frame of zero-fill loop +
+    relayout; see precision.set_xpack). Padding its in/out to 4 ch/pixel
+    (8 packed lanes) removes the trigger: the pad input channel is zeros
+    (kernel rows zero -> identical products) and the pad output channel is
+    sliced away by the caller, so the math is exactly unchanged.
+    """
     return {
-        "k1": blocks3x3(params["conv1"]["kernel"]),
+        "k1": blocks3x3(_pad_ch(params["conv1"]["kernel"], cin_pad, 0)),
         "b1": pairc(params["conv1"]["bias"]),
         "k2": blocks3x3(params["conv2"]["kernel"]),
         "b2": pairc(params["conv2"]["bias"]),
-        "k3": blocks1x1(params["conv3"]["kernel"][0, 0]),
-        "b3": pairc(params["conv3"]["bias"]),
+        "k3": blocks1x1(
+            _pad_ch(params["conv3"]["kernel"], 0, cout_pad)[0, 0]
+        ),
+        "b3": pairc(jnp.pad(params["conv3"]["bias"], (0, cout_pad))),
     }
 
 
@@ -73,7 +91,9 @@ def precompute(params: dict, batch_stats: dict, parts=None) -> dict:
     """
     pre = {}
     if parts is None or "d1" in parts:
-        pre["d1"] = _pack_denoise(params["denoise_1"])
+        # 3->4 ch/pixel padding: keeps every packed tensor a multiple of
+        # 8 lanes (see _pack_denoise docstring)
+        pre["d1"] = _pack_denoise(params["denoise_1"], cin_pad=1, cout_pad=1)
     if parts is None or "d2" in parts:
         pre["d2"] = _pack_denoise(params["denoise_2"])
     if parts is None or "enh" in parts:
@@ -98,7 +118,9 @@ def _denoise_xp(pre: dict, xp: jax.Array) -> jax.Array:
 
 
 def denoise1_xp(pre: dict, xp: jax.Array) -> jax.Array:
-    """Denoise_1 on packed input: (.., 2*3) -> (.., 2*3) residual."""
+    """Denoise_1 on packed 8-lane-padded input: (.., 2*4) -> (.., 2*4)
+    residual (input channel 4 must be zeros; output channel 4 is junk --
+    the caller slices it away after unpacking)."""
     return _denoise_xp(pre["d1"], xp)
 
 
