@@ -111,27 +111,31 @@ def raft_forward(
     update_vars = _sub(variables, "update_block")
 
     def body(carry, _):
-        net, coords1, _mask = carry
+        net, coords1 = carry
         # per-iteration detach, parity with raft.py:112 (matters only when
         # differentiating through RAFT, i.e. flow-model training)
         coords1 = jax.lax.stop_gradient(coords1)
         corr = lookup_corr(pyramid, coords1, CORR_RADIUS)
         flow = coords1 - coords0
-        net, mask, delta = _UPDATE.apply(update_vars, net, inp, corr, flow)
+        # the mask head runs per-iteration only when every prediction is
+        # consumed (flow training); inference computes it ONCE post-scan
+        # from the final hidden state -- identical output (the reference
+        # discards all but the last mask, raft.py:111-130)
+        net, mask, delta = _UPDATE.apply(
+            update_vars, net, inp, corr, flow, with_mask=return_predictions
+        )
         new_coords1 = coords1 + delta
         ys = (new_coords1 - coords0, mask) if return_predictions else None
-        return (net, new_coords1, mask), ys
+        return (net, new_coords1), ys
 
-    mask0 = jnp.zeros((b, h8, w8, 64 * 9), net0.dtype)
-    (net, coords1, mask), ys = lax.scan(
-        body, (net0, coords0, mask0), None, length=iters
-    )
+    (net, coords1), ys = lax.scan(body, (net0, coords0), None, length=iters)
 
     flow_low = coords1 - coords0
     if return_predictions:
         flows, masks = ys  # (iters, B, h8, w8, ...)
         flow_ups = jax.vmap(convex_upsample_flow)(flows, masks)
         return flow_low, flow_ups
+    mask = _UPDATE.apply(update_vars, net, method="mask_head")
     flow_up = convex_upsample_flow(flow_low, mask)
     return flow_low, flow_up
 

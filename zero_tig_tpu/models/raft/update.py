@@ -69,15 +69,35 @@ class BasicMotionEncoder(nn.Module):
 
 
 class BasicUpdateBlock(nn.Module):
+    """One refinement step. Parity: BasicUpdateBlock (update.py:108-136).
+
+    The upsample-mask head is exposed separately (``mask_head``) because it
+    is a pure function of the updated hidden state: the reference computes
+    the mask every iteration and uses only the last (raft.py:111-130), so
+    the inference scan calls ``__call__(..., with_mask=False)`` and runs the
+    mask head ONCE on the final ``net`` -- identical output, 2 fewer convs
+    (one of them the 3x3 128->256, the costliest conv in the update block)
+    per discarded iteration.
+    """
+
     hidden_dim: int = 128
 
-    @nn.compact
-    def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+    def setup(self):
+        self.encoder = BasicMotionEncoder(name="encoder")
+        self.gru = SepConvGRU(self.hidden_dim, name="gru")
+        self.flow_head = FlowHead(256, name="flow_head")
+        self.mask_0 = Conv(256, (3, 3), padding=1, name="mask_0")
+        self.mask_2 = Conv(64 * 9, (1, 1), name="mask_2")
+
+    def mask_head(self, net):
+        """Convex-upsample mask from the (updated) hidden state; the 0.25
+        scale balances gradients vs the flow head (reference update.py:131)."""
+        return 0.25 * self.mask_2(nn.relu(self.mask_0(net)))
+
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True):
+        motion = self.encoder(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
-        delta_flow = FlowHead(256, name="flow_head")(net)
-        # mask head: conv3x3 128->256, relu, conv1x1 256->576, scaled 0.25
-        m = nn.relu(Conv(256, (3, 3), padding=1, name="mask_0")(net))
-        mask = 0.25 * Conv(64 * 9, (1, 1), name="mask_2")(m)
+        net = self.gru(net, x)
+        delta_flow = self.flow_head(net)
+        mask = self.mask_head(net) if with_mask else None
         return net, mask, delta_flow
