@@ -379,3 +379,50 @@ def test_forward_inference_odd_sizes(net_vars, raft_vars, rng, hw):
     )
     assert H3.shape == frame.shape
     assert np.isfinite(np.asarray(H3)).all()
+
+
+def test_update_block_fast_apply_matches_module(rng):
+    """The raw-param fast apply (z/r gate convs fused into one conv per GRU
+    direction) is the same function as the Flax module path: channel-concat
+    of kernels that read the same input leaves every output channel's
+    products untouched."""
+    from zero_tig_tpu.models.raft.update import (
+        BasicUpdateBlock,
+        update_block_apply_fast,
+    )
+
+    blk = BasicUpdateBlock(hidden_dim=128)
+    net = jnp.asarray(rng.standard_normal((1, 6, 8, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.standard_normal((1, 6, 8, 128)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((1, 6, 8, 324)).astype(np.float32))
+    flow = jnp.asarray(rng.standard_normal((1, 6, 8, 2)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+
+    ref_net, _, ref_delta = blk.apply(v, net, inp, corr, flow)
+    f_net, f_delta = update_block_apply_fast(v["params"], net, inp, corr, flow)
+    np.testing.assert_allclose(np.asarray(f_net), np.asarray(ref_net), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f_delta), np.asarray(ref_delta), atol=1e-6
+    )
+
+
+def test_raft_forward_fused_body_matches_module_body(raft_vars, rng):
+    """raft_forward's opt-in fused fast body (raw z/r-fused apply, mask
+    once post-scan; precision.set_raft_fused) returns the same flow as
+    the default module body at the same precision."""
+    from zero_tig_tpu.core import precision
+    from zero_tig_tpu.models.raft import raft as raftmod
+
+    img = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32) * 255.0)
+    img2 = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32) * 255.0)
+    precision.set_precision("fast")
+    try:
+        _, up_module = raft_forward(raft_vars, img, img2, iters=3)
+        precision.set_raft_fused(True)
+        _, up_fused = raft_forward(raft_vars, img, img2, iters=3)
+    finally:
+        precision.set_raft_fused(False)
+        precision.set_precision("highest")
+    np.testing.assert_allclose(
+        np.asarray(up_fused), np.asarray(up_module), atol=1e-4
+    )

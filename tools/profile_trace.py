@@ -26,7 +26,18 @@ import sys
 import tempfile
 
 
-def aggregate(trace_dir: str, frames: int, top: int) -> None:
+def aggregate(
+    trace_dir: str, frames: int, top: int, by_category: bool = False
+) -> None:
+    """Per-source (default) or per-hlo_category leaf-op device time.
+
+    by_category exists because per-source attribution books layout-
+    assignment artifacts (relayout copies, zero-fill loops) on the
+    enclosing loop/source line: the 31 ms/frame channel-major warp-table
+    zero-fill that round 3's d1 packing triggered was invisible per-source
+    (booked on the scan line) and obvious per-category ("wide.body" +
+    copy). Break down by category BEFORE believing a scan-line entry.
+    """
     files = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -47,7 +58,10 @@ def aggregate(trace_dir: str, frames: int, top: int) -> None:
         name = e.get("name", "")
         if name.startswith(("jit_", "$", "np.")):
             continue
-        key = a.get("source") or name.split(".")[0]
+        if by_category:
+            key = a.get("hlo_category") or name.split(".")[0]
+        else:
+            key = a.get("source") or name.split(".")[0]
         ms = int(a["device_duration_ps"]) / 1e9
         if a.get("hlo_category") == "while":
             # loop wrappers CONTAIN the leaf ops below -- listing them in
@@ -57,7 +71,8 @@ def aggregate(trace_dir: str, frames: int, top: int) -> None:
         agg[key] += ms
         cnt[key] += 1
     total = 0.0
-    print(f"{'ms/frame':>9}  {'calls':>6}  source")
+    head = "hlo_category" if by_category else "source"
+    print(f"{'ms/frame':>9}  {'calls':>6}  {head}")
     for k, v in agg.most_common(top):
         print(f"{v / frames:9.3f}  {cnt[k]:6d}  {k}")
         total += v
@@ -75,6 +90,11 @@ def main(argv=None) -> None:
     ap.add_argument("--raft_iters", type=int, default=12)
     ap.add_argument("--precision", default="fast")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument(
+        "--by_category", action="store_true",
+        help="aggregate by hlo_category instead of source line (finds "
+        "layout-assignment artifacts that per-source booking hides)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -118,7 +138,7 @@ def main(argv=None) -> None:
         jax.profiler.start_trace(tdir)
         run(carry)
         jax.profiler.stop_trace()
-        aggregate(tdir, args.chunk, args.top)
+        aggregate(tdir, args.chunk, args.top, by_category=args.by_category)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 

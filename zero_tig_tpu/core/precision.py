@@ -64,6 +64,43 @@ def get_pack_conv() -> bool:
     return _PACK_CONV
 
 
+_RAFT_FUSED = False
+
+
+def set_raft_fused(enabled: bool) -> None:
+    """EXPERIMENTAL: raw-param update-block apply with the GRU z/r gate
+    convs fused into one conv per direction (models/raft/update.py
+    update_block_apply_fast) in the fast-mode refinement scan. Bit-exact
+    vs the module path (tested); OFF by default until the end-to-end TPU
+    number lands -- the round-3 lesson is that mathematically identical
+    reformulations routinely shift XLA's global layout assignment. Read
+    at trace time."""
+    global _RAFT_FUSED
+    _RAFT_FUSED = bool(enabled)
+
+
+def get_raft_fused() -> bool:
+    return _RAFT_FUSED
+
+
+_RAFT_KERNEL = False
+
+
+def set_raft_kernel(enabled: bool) -> None:
+    """EXPERIMENTAL: fuse the RAFT update-block core (motion encoder cor
+    path + z/r-fused GRU + flow head) into ONE Pallas kernel per
+    refinement iteration (models/raft/update_kernel.py). The 45x80 loop
+    is per-HLO-op-overhead-bound (~25 tiny ops/iteration); the kernel
+    runs them as in-VMEM shifted dot_generals. Read at trace time; only
+    consulted when the mode is 'fast' and B == 1."""
+    global _RAFT_KERNEL
+    _RAFT_KERNEL = bool(enabled)
+
+
+def get_raft_kernel() -> bool:
+    return _RAFT_KERNEL
+
+
 def set_xpack(parts) -> None:
     """Packed-pair conv LAYOUT on the fast inference path (ops/xpack.py):
     selected conv stacks and their glue run on (B, H, W/2, 2C) operands as

@@ -110,6 +110,13 @@ def raft_forward(
     coords0 = coords_grid(b, h8, w8, dtype=jnp.float32)
     update_vars = _sub(variables, "update_block")
 
+    from ...core.precision import get_mode, get_raft_fused, get_raft_kernel
+    from .update import update_block_apply_fast
+
+    fast_body = get_mode() == "fast" and not return_predictions
+    use_kernel = fast_body and get_raft_kernel() and b == 1
+    use_fused = fast_body and get_raft_fused()
+
     def body(carry, _):
         net, coords1 = carry
         # per-iteration detach, parity with raft.py:112 (matters only when
@@ -121,9 +128,27 @@ def raft_forward(
         # consumed (flow training); inference computes it ONCE post-scan
         # from the final hidden state -- identical output (the reference
         # discards all but the last mask, raft.py:111-130)
-        net, mask, delta = _UPDATE.apply(
-            update_vars, net, inp, corr, flow, with_mask=return_predictions
-        )
+        if use_kernel:
+            # one fused Pallas kernel for the update core (experimental,
+            # precision.set_raft_kernel)
+            from .update_kernel import update_block_apply_kernel
+
+            net, delta = update_block_apply_kernel(
+                update_vars["params"], net, inp, corr, flow
+            )
+            mask = None
+        elif use_fused:
+            # raw-param apply, GRU z/r gate convs fused (exact;
+            # experimental, precision.set_raft_fused)
+            net, delta = update_block_apply_fast(
+                update_vars["params"], net, inp, corr, flow
+            )
+            mask = None
+        else:
+            net, mask, delta = _UPDATE.apply(
+                update_vars, net, inp, corr, flow,
+                with_mask=return_predictions,
+            )
         new_coords1 = coords1 + delta
         ys = (new_coords1 - coords0, mask) if return_predictions else None
         return (net, new_coords1), ys

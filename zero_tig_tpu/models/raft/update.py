@@ -6,6 +6,7 @@ Parity: ``BasicMotionEncoder`` / ``SepConvGRU`` / ``FlowHead`` /
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -101,3 +102,73 @@ class BasicUpdateBlock(nn.Module):
         delta_flow = self.flow_head(net)
         mask = self.mask_head(net) if with_mask else None
         return net, mask, delta_flow
+
+
+def _conv(x, p, pad):
+    """Raw NHWC conv + bias with the fast-mode dtype policy of layers.Conv."""
+    from ...core.precision import conv_precision, get_mode
+
+    cdt = jnp.bfloat16 if get_mode() == "fast" else x.dtype
+    out = jax.lax.conv_general_dilated(
+        x.astype(cdt),
+        p["kernel"].astype(cdt),
+        window_strides=(1, 1),
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=conv_precision(),
+    )
+    return out + p["bias"].astype(cdt)
+
+
+def _cat2(pa, pb):
+    """Fuse two convs that read the SAME input into one: concatenate their
+    output channels. Bit-exact (each output channel's products are
+    untouched); the kernel concat is loop-invariant, XLA hoists it out of
+    the refinement scan."""
+    return {
+        "kernel": jnp.concatenate([pa["kernel"], pb["kernel"]], axis=-1),
+        "bias": jnp.concatenate([pa["bias"], pb["bias"]], axis=-1),
+    }
+
+
+def update_block_apply_fast(params, net, inp, corr, flow):
+    """BasicUpdateBlock.__call__(with_mask=False) on the raw param pytree
+    with the z/r gate convs of each GRU direction FUSED into one conv
+    (same shared input; exact). Raw-jnp fast path for the inference
+    refinement scan -- Flax module calls can't concatenate sibling
+    kernels, and the per-iteration op count is what the 45x80 RAFT loop
+    is bound by. Parity: update.py:108-136 composition, certified
+    bit-exact vs the module path by tests/test_models.py."""
+    enc, gru = params["encoder"], params["gru"]
+    hd = net.shape[-1]
+
+    cor = jax.nn.relu(_conv(corr, enc["convc1"], (0, 0)))
+    cor = jax.nn.relu(_conv(cor, enc["convc2"], (1, 1)))
+    flo = jax.nn.relu(_conv(flow, enc["convf1"], (3, 3)))
+    flo = jax.nn.relu(_conv(flo, enc["convf2"], (1, 1)))
+    out = jax.nn.relu(
+        _conv(jnp.concatenate([cor, flo], axis=-1), enc["conv"], (1, 1))
+    )
+    motion = jnp.concatenate([out, flow], axis=-1)
+    x = jnp.concatenate([inp, motion], axis=-1)
+
+    # horizontal GRU pass: z|r in one 1x5 conv
+    hx = jnp.concatenate([net, x], axis=-1)
+    zr = jax.nn.sigmoid(_conv(hx, _cat2(gru["convz1"], gru["convr1"]), (0, 2)))
+    z, r = zr[..., :hd], zr[..., hd:]
+    q = jnp.tanh(
+        _conv(jnp.concatenate([r * net, x], axis=-1), gru["convq1"], (0, 2))
+    )
+    net = (1 - z) * net + z * q
+    # vertical GRU pass: z|r in one 5x1 conv
+    hx = jnp.concatenate([net, x], axis=-1)
+    zr = jax.nn.sigmoid(_conv(hx, _cat2(gru["convz2"], gru["convr2"]), (2, 0)))
+    z, r = zr[..., :hd], zr[..., hd:]
+    q = jnp.tanh(
+        _conv(jnp.concatenate([r * net, x], axis=-1), gru["convq2"], (2, 0))
+    )
+    net = (1 - z) * net + z * q
+
+    fh = params["flow_head"]
+    delta = _conv(jax.nn.relu(_conv(net, fh["conv1"], (1, 1))), fh["conv2"], (1, 1))
+    return net, delta
