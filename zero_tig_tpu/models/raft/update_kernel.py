@@ -267,12 +267,20 @@ def update_block_apply_kernel(
     corr: jax.Array,
     flow: jax.Array,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """update_block_apply_fast with the core fused into one Pallas kernel;
-    the flow path (convf1 7x7 on 2ch, convf2) runs as XLA convs."""
+    the flow path (convf1 7x7 on 2ch, convf2) runs as XLA convs.
+
+    interpret=None auto-selects the Pallas interpreter off-TPU so the
+    dispatch stays runnable in CPU tests and the virtual-mesh dryrun.
+    """
     from .update import _conv
 
+    if interpret is None:
+        # same backend probe the fast warp uses (sampling.py): anything
+        # that isn't the host CPU platform is a real Mosaic target
+        interpret = jax.default_backend() == "cpu"
     enc = params["encoder"]
     flo = jax.nn.relu(_conv(flow, enc["convf1"], (3, 3)))
     flo = jax.nn.relu(_conv(flo, enc["convf2"], (1, 1)))
