@@ -92,3 +92,58 @@ def test_update_kernel_odd_sizes(blk_vars):
         np.asarray(ref_delta, np.float32),
         atol=5e-2,
     )
+
+
+def test_fused_paths_under_jitted_scan_pipeline():
+    """Both opt-in fast bodies must run under predict_chunk's jitted scan
+    and stay within quantization distance of the module body: the fused
+    raw apply is exact (identical uint8 output); the Pallas kernel's f32
+    epilogues differ from the module's bf16 ones by at most a couple of
+    gray levels."""
+    import jax
+
+    from zero_tig_tpu.models import (
+        init_network_variables,
+        init_raft_variables,
+    )
+    from zero_tig_tpu.pipeline import predict_chunk
+
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frame = (
+        jax.random.uniform(jax.random.PRNGKey(2), (1, 48, 64, 3), jnp.float32)
+        * 0.2
+    )
+    frames = jnp.stack([frame + 0.001 * i for i in range(3)])
+    news = jnp.zeros((3,), jnp.bool_)
+    carry = {
+        "last_H3": jnp.zeros_like(frame),
+        "last_s3": jnp.zeros_like(frame) + 0.5,
+    }
+    kw = dict(of_scale=2, raft_iters=3, emit="u8")
+
+    precision.set_precision("fast")
+    try:
+        (_, a), _ = predict_chunk(
+            net_vars, raft_vars, frames, carry, news, **kw
+        )
+        jax.clear_caches()
+        precision.set_raft_fused(True)
+        (_, b), _ = predict_chunk(
+            net_vars, raft_vars, frames, carry, news, **kw
+        )
+        precision.set_raft_fused(False)
+        jax.clear_caches()
+        precision.set_raft_kernel(True)
+        (_, c), _ = predict_chunk(
+            net_vars, raft_vars, frames, carry, news, **kw
+        )
+    finally:
+        precision.set_raft_fused(False)
+        precision.set_raft_kernel(False)
+        precision.set_precision("highest")
+        jax.clear_caches()
+    d_ab = int(np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max())
+    d_ac = int(np.abs(np.asarray(a, np.int32) - np.asarray(c, np.int32)).max())
+    assert d_ab == 0, d_ab
+    assert d_ac <= 3, d_ac
