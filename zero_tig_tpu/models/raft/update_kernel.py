@@ -281,6 +281,13 @@ def update_block_apply_kernel(
         # same backend probe the fast warp uses (sampling.py): anything
         # that isn't the host CPU platform is a real Mosaic target
         interpret = jax.default_backend() == "cpu"
+    if not interpret and flow.shape[2] % 8 != 0:
+        # the in-kernel (h*w, C) <-> (h, w, C) reshapes are tile-aligned
+        # only when w is a multiple of 8 sublanes (true at the pipeline's
+        # /8-padded operating points, e.g. 45x80); odd widths fall back
+        from .update import update_block_apply_fast
+
+        return update_block_apply_fast(params, net, inp, corr, flow)
     enc = params["encoder"]
     flo = jax.nn.relu(_conv(flow, enc["convf1"], (3, 3)))
     flo = jax.nn.relu(_conv(flo, enc["convf2"], (1, 1)))
