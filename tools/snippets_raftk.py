@@ -1,7 +1,12 @@
 # Post-relay-recovery measurement, SAFE ORDER: cheap/cached graphs first,
 # the known-pathological-compile graph (gru-fused predict_chunk -- the one
 # whose 50-min remote compile preceded the relay outage) LAST.
+# Normally fed to tools/tpu_worker.py's FIFO (which shares one chip claim);
+# the imports below also make it runnable standalone: python tools/snippets_raftk.py
 import sys, time, statistics
+
+import jax
+import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 for m in [k for k in list(sys.modules) if k.startswith(("zero_tig_tpu", "tools"))]:
     del sys.modules[m]

@@ -22,6 +22,7 @@ the enhancer input (model/model.py:168), the H*_pred anchor terms
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, NamedTuple
 
 import jax
@@ -409,6 +410,15 @@ def forward_inference(
     last_s3_wp = jnp.where(new_flag, zero, warped_s3)
 
     enh_in = jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1)
+    if enh_scale > 1 and (h % enh_scale != 0 or w % enh_scale != 0):
+        # shapes are static at trace time, so this fires once per program
+        warnings.warn(
+            f"enh_scale={enh_scale} requested but frame {h}x{w} is not "
+            f"divisible by it; running the exact full-resolution enhancer "
+            f"instead (the benchmark point you measure is NOT the half-res "
+            f"one)",
+            stacklevel=2,
+        )
     if enh_scale > 1 and h % enh_scale == 0 and w % enh_scale == 0:
         small = resize_bilinear(
             enh_in, (h // enh_scale, w // enh_scale), align_corners=False
@@ -436,10 +446,17 @@ def forward_inference(
 
 
 def xpack_precompute(
-    variables: dict, width: int, enh_scale: int = 1
+    variables: dict,
+    width: int,
+    enh_scale: int = 1,
+    batch: int = 1,
+    height: int = 0,
 ) -> dict | None:
     """Packed-pair weights for the xpack fast path, or None when the path
-    won't dispatch (mirrors forward_inference's routing condition).
+    won't dispatch (mirrors forward_inference's FULL routing condition,
+    including the pack_conv sub-gates: when set_pack_conv(True) is requested
+    but its batch==1 / even-H gate fails, forward_inference falls back to
+    xpack and the precomputed weights ARE needed).
     Chunked callers call this OUTSIDE their scan body and pass the pytree
     down so the packing is explicitly once-per-program (XLA's loop-invariant
     code motion also handles inline packing -- measured identical -- but
@@ -448,10 +465,17 @@ def xpack_precompute(
     from .xla_fastpath import precompute
 
     parts = get_xpack()
+    pack_conv_dispatches = (
+        get_pack_conv()
+        and enh_scale == 1
+        and batch == 1
+        and height % 2 == 0
+        and width % 2 == 0
+    )
     if (
         get_mode() == "fast"
         and parts
-        and not get_pack_conv()
+        and not pack_conv_dispatches
         and enh_scale == 1
         and width % 2 == 0
     ):

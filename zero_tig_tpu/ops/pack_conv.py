@@ -285,7 +285,10 @@ def build_weight_blocks_multi(
     return blocks.reshape(9 * 2 * cin, 2 * cout).astype(jnp.bfloat16)
 
 
-def _kernel_multi(*refs, bh, hal, wpp, cin2s, cout2, act, residual):
+def _kernel_multi(*refs, bh, hal, wpp, cin2s, cout2, act):
+    # no residual variant: multi-input callers fuse their residual adds via
+    # residual1x1_packed_multi instead (a `residual` kwarg here was never
+    # implemented -- removed rather than left as a silent no-op)
     nin = len(cin2s)
     wb_ref = refs[3 * nin]
     sc_ref = refs[3 * nin + 1]
@@ -362,7 +365,7 @@ def conv3x3_packed_multi(
 
     kern = functools.partial(
         _kernel_multi, bh=bh, hal=hal, wpp=wpp,
-        cin2s=cin2s, cout2=cout2, act=act, residual=False,
+        cin2s=cin2s, cout2=cout2, act=act,
     )
     in_specs = []
     args = []

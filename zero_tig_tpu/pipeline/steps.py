@@ -171,7 +171,13 @@ def predict_chunk(
 
     # pack the xpack-layout conv weights once, outside the scan body
     # (see models.network.xpack_precompute)
-    xpack_pre = xpack_precompute(variables, frames.shape[3], enh_scale)
+    xpack_pre = xpack_precompute(
+        variables,
+        frames.shape[3],
+        enh_scale,
+        batch=frames.shape[1],
+        height=frames.shape[2],
+    )
 
     def body(c, inp):
         frame, flag = inp
