@@ -212,3 +212,79 @@ def test_spmd_cli_train_and_predict(tmp_path):
     outs = glob.glob(str(tmp_path / "pred" / "**" / "*_denoise.png"),
                      recursive=True)
     assert len(outs) == 4  # 2 scenes x 2 frames
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_width_sharding_matches_single_device(rng, n_spatial):
+    """Width sharding ('spatial' axis) must be a pure layout decision:
+    predict outputs AND train-step results (loss, updated params) match
+    single-device execution. This proves XLA's SPMD halo insertion is
+    semantically clean through the shard-boundary-crossing ops: the
+    of_scale bilinear resize, RAFT flow (global corr volume), the warp
+    gather, and the banded losses. SURVEY section 2.7 item 2."""
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.models import (
+        init_network_variables,
+        init_raft_variables,
+    )
+    from zero_tig_tpu.pipeline import init_train_state, predict_step, train_step
+
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frame = jnp.asarray(rng.random((1, 48, 64, 3)).astype(np.float32) * 0.2)
+    prev = jnp.asarray(rng.random((1, 48, 64, 3)).astype(np.float32) * 0.5)
+    carry = {"last_H3": prev, "last_s3": prev * 0.8 + 0.1}
+    flag = jnp.asarray(False)  # continuation: flow+warp genuinely run
+
+    # ---- single-device reference
+    (H2_1, H3_1, s3_1), carry_1 = predict_step(
+        net_vars, raft_vars, frame, carry, flag, of_scale=2, raft_iters=2
+    )
+    cfg = Config(of_scale=2, raft_iters=2)
+    state = init_train_state(cfg, net_vars, frame.shape)
+    state = state._replace(carry=dict(carry))
+    state_1, loss_1 = train_step(
+        state, raft_vars, frame, flag, of_scale=2, raft_iters=2
+    )
+
+    # ---- width-sharded
+    mesh = make_mesh(1, n_spatial)
+    fs = frame_sharding(mesh)
+    with jax.sharding.set_mesh(mesh):
+        (H2_n, H3_n, s3_n), carry_n = predict_step(
+            shard_params(mesh, net_vars),
+            shard_params(mesh, raft_vars),
+            jax.device_put(frame, fs),
+            jax.device_put(carry, fs),
+            flag,
+            of_scale=2,
+            raft_iters=2,
+        )
+        state_sh = state._replace(
+            params=shard_params(mesh, state.params),
+            batch_stats=shard_params(mesh, state.batch_stats),
+            opt_state=shard_params(mesh, state.opt_state),
+            carry=jax.device_put(state.carry, fs),
+        )
+        state_n, loss_n = train_step(
+            state_sh, shard_params(mesh, raft_vars),
+            jax.device_put(frame, fs), flag, of_scale=2, raft_iters=2,
+        )
+
+    np.testing.assert_allclose(np.asarray(H3_n), np.asarray(H3_1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(H2_n), np.asarray(H2_1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(s3_n), np.asarray(s3_1), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(carry_n["last_H3"]), np.asarray(carry_1["last_H3"]),
+        atol=3e-5,
+    )
+    assert float(loss_1) == pytest.approx(float(loss_n), rel=1e-4)
+    # updated params certify the sharded GRADIENTS (Adam's first step is
+    # ~lr*sign(g): any halo error flips elements by 2e-4)
+    flat_1 = jax.tree_util.tree_leaves_with_path(state_1.params)
+    flat_n = dict(jax.tree_util.tree_leaves_with_path(state_n.params))
+    for path, v1 in flat_1:
+        np.testing.assert_allclose(
+            np.asarray(flat_n[path]), np.asarray(v1), atol=2e-5,
+            err_msg=str(path),
+        )
