@@ -101,27 +101,115 @@ class LPIPSScorer:
         return float(self._fn(a, b)[0])
 
 
+# torchvision vgg16().features Sequential indices of the 13 convs (fixed
+# by the published architecture; documented at pytorch.org/vision vgg16)
+VGG16_CONV_SEQ_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+# expected (out, in) channels per conv, in order
+_VGG_CONV_SHAPES = [
+    (64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+    (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+    (512, 512), (512, 512),
+]
+_LIN_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def _check_conv(conv_i: int, key: str, w: np.ndarray) -> None:
+    want = (*_VGG_CONV_SHAPES[conv_i], 3, 3)
+    if tuple(w.shape) != want:
+        raise ValueError(
+            f"LPIPS converter: {key} has shape {tuple(w.shape)}, expected "
+            f"{want} (torchvision vgg16 conv #{conv_i}) -- wrong or "
+            f"reordered state dict?"
+        )
+
+
 def convert_torch_lpips(vgg_features_sd: dict, lpips_sd: dict, out_path: str):
     """Build lpips_weights.npz from torch state dicts (run where available).
 
     vgg_features_sd: torchvision vgg16 ``.features.state_dict()`` (keys
-    '0.weight', '0.bias', '2.weight', ... torch Sequential indices).
+    '0.weight', '0.bias', '2.weight', ... torch Sequential indices
+    ``VGG16_CONV_SEQ_IDX``).
     lpips_sd: lpips.LPIPS(net='vgg') state dict with 'lin{j}.model.1.weight'.
+
+    Every key and shape is validated loudly: real weights cannot silently
+    mis-convert.
     """
     arrays = {}
-    conv_i = 0
-    seq_i = 0
-    for spec in _VGG_CFG:
-        if spec == "M":
-            seq_i += 1  # MaxPool layer
-            continue
-        w = np.asarray(vgg_features_sd[f"{seq_i}.weight"])
-        b = np.asarray(vgg_features_sd[f"{seq_i}.bias"])
+    for conv_i, seq_i in enumerate(VGG16_CONV_SEQ_IDX):
+        for leaf in ("weight", "bias"):
+            if f"{seq_i}.{leaf}" not in vgg_features_sd:
+                raise KeyError(
+                    f"LPIPS converter: missing '{seq_i}.{leaf}' -- expected "
+                    f"torchvision vgg16 .features.state_dict() keys "
+                    f"{{i}}.weight/{{i}}.bias for i in {VGG16_CONV_SEQ_IDX}"
+                )
+        w = np.asarray(vgg_features_sd[f"{seq_i}.weight"], np.float32)
+        b = np.asarray(vgg_features_sd[f"{seq_i}.bias"], np.float32)
+        _check_conv(conv_i, f"{seq_i}.weight", w)
         arrays[f"conv{conv_i}_w"] = w.transpose(2, 3, 1, 0)  # OIHW->HWIO
         arrays[f"conv{conv_i}_b"] = b
-        conv_i += 1
-        seq_i += 2  # Conv + ReLU
-    for j in range(5):
-        w = np.asarray(lpips_sd[f"lin{j}.model.1.weight"])  # (1, C, 1, 1)
-        arrays[f"lin{j}_w"] = w.transpose(2, 3, 1, 0)
+    _convert_lins(lpips_sd, arrays)
     np.savez(out_path, **arrays)
+
+
+def convert_lpips_full(lpips_full_sd: dict, out_path: str):
+    """Build lpips_weights.npz from ONE full ``lpips.LPIPS(net='vgg')``
+    state dict (``.state_dict()`` of the instantiated scorer, which embeds
+    the VGG backbone as ``net.slice{1..5}.{orig_seq_idx}.weight`` -- the
+    lpips package's vgg16 wrapper preserves torchvision Sequential indices
+    inside its five slices).
+    """
+    slice_of_idx = {}
+    for s, lo, hi in ((1, 0, 4), (2, 4, 9), (3, 9, 16), (4, 16, 23),
+                      (5, 23, 30)):
+        for i in range(lo, hi):
+            slice_of_idx[i] = s
+
+    arrays = {}
+    for conv_i, seq_i in enumerate(VGG16_CONV_SEQ_IDX):
+        key = f"net.slice{slice_of_idx[seq_i]}.{seq_i}.weight"
+        if key not in lpips_full_sd:
+            raise KeyError(
+                f"LPIPS converter: missing '{key}' -- expected a full "
+                f"lpips.LPIPS(net='vgg').state_dict() (net.sliceN.I.* keys)"
+            )
+        w = np.asarray(lpips_full_sd[key], np.float32)
+        _check_conv(conv_i, key, w)
+        b = np.asarray(
+            lpips_full_sd[key.replace(".weight", ".bias")], np.float32
+        )
+        arrays[f"conv{conv_i}_w"] = w.transpose(2, 3, 1, 0)
+        arrays[f"conv{conv_i}_b"] = b
+
+    # cross-check the scaling layer against our baked-in constants
+    if "scaling_layer.shift" in lpips_full_sd:
+        shift = np.asarray(lpips_full_sd["scaling_layer.shift"]).ravel()
+        scale = np.asarray(lpips_full_sd["scaling_layer.scale"]).ravel()
+        if not (
+            np.allclose(shift, np.asarray(_SHIFT), atol=1e-6)
+            and np.allclose(scale, np.asarray(_SCALE), atol=1e-6)
+        ):
+            raise ValueError(
+                f"LPIPS converter: scaling layer {shift}/{scale} differs "
+                f"from the published constants {np.asarray(_SHIFT)}/"
+                f"{np.asarray(_SCALE)} baked into lpips_distance"
+            )
+    _convert_lins(lpips_full_sd, arrays)
+    np.savez(out_path, **arrays)
+
+
+def _convert_lins(lpips_sd: dict, arrays: dict) -> None:
+    for j, ch in enumerate(_LIN_CHANNELS):
+        key = f"lin{j}.model.1.weight"
+        if key not in lpips_sd:
+            raise KeyError(
+                f"LPIPS converter: missing '{key}' -- expected the lpips "
+                f"package's linear-head keys lin{{0..4}}.model.1.weight"
+            )
+        w = np.asarray(lpips_sd[key], np.float32)  # (1, C, 1, 1)
+        if tuple(w.shape) != (1, ch, 1, 1):
+            raise ValueError(
+                f"LPIPS converter: {key} has shape {tuple(w.shape)}, "
+                f"expected (1, {ch}, 1, 1)"
+            )
+        arrays[f"lin{j}_w"] = w.transpose(2, 3, 1, 0)
