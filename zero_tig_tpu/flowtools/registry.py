@@ -20,6 +20,11 @@ class FlowModel:
     init_fn: Callable[[jax.Array], Any]  # key -> variables
     forward_fn: Callable[..., tuple]  # (vars, img1, img2, iters) -> flows
     default_iters: int
+    # (vars, img1, img2, iters) -> (seq, B, H, W, 2) full-res prediction
+    # sequence for supervised training (RAFT: per-refinement-iteration;
+    # PWC: per-pyramid-level); None = model is not trainable via the
+    # sidecar's sequence loss
+    predictions_fn: Callable[..., Any] | None = None
 
 
 _REGISTRY: dict[str, FlowModel] = {}
@@ -42,6 +47,7 @@ def available_models() -> list[str]:
 
 
 def _register_builtin() -> None:
+    from ..models.pwc import init_pwc_variables, pwc_forward
     from ..models.raft.raft import init_raft_variables, raft_forward
     from ..models.raft.small import init_raft_small_variables, raft_small_forward
 
@@ -51,6 +57,9 @@ def _register_builtin() -> None:
             init_fn=init_raft_variables,
             forward_fn=lambda v, a, b, iters: raft_forward(v, a, b, iters=iters),
             default_iters=12,
+            predictions_fn=lambda v, a, b, iters: raft_forward(
+                v, a, b, iters=iters, return_predictions=True
+            )[1],
         )
     )
     register_flow_model(
@@ -61,6 +70,22 @@ def _register_builtin() -> None:
                 v, a, b, iters=iters
             ),
             default_iters=12,
+            predictions_fn=lambda v, a, b, iters: raft_small_forward(
+                v, a, b, iters=iters, return_predictions=True
+            )[1],
+        )
+    )
+    register_flow_model(
+        FlowModel(
+            name="pwc_lite",
+            init_fn=init_pwc_variables,
+            forward_fn=lambda v, a, b, iters: pwc_forward(
+                v, a, b, iters=iters
+            ),
+            default_iters=1,
+            predictions_fn=lambda v, a, b, iters: pwc_forward(
+                v, a, b, iters=iters, return_predictions=True
+            )[1],
         )
     )
 

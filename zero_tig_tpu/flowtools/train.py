@@ -98,15 +98,26 @@ def flow_train_step(
     gamma: float = 0.8,
     lr: float = 4e-4,
     total_steps: int = 100_000,
+    predictions_fn=None,
 ) -> tuple[FlowTrainState, jax.Array]:
-    """One supervised step. img1/img2: (B, H, W, 3) in [0, 255]."""
+    """One supervised step. img1/img2: (B, H, W, 3) in [0, 255].
+
+    predictions_fn: (vars, img1, img2, iters) -> (seq, B, H, W, 2)
+    prediction sequence (registry FlowModel.predictions_fn); defaults to
+    RAFT. Any registry model with a predictions_fn is trainable here --
+    the sidecar's model-selection workflow covers training, not just
+    benchmarking (parity: ptlflow_scripts/train.py over the zoo).
+    """
     opt = make_flow_optimizer(lr=lr, total_steps=total_steps)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
-        _, flow_preds = raft_forward(
-            variables, img1, img2, iters=iters, return_predictions=True
-        )
+        if predictions_fn is None:
+            _, flow_preds = raft_forward(
+                variables, img1, img2, iters=iters, return_predictions=True
+            )
+        else:
+            flow_preds = predictions_fn(variables, img1, img2, iters)
         return sequence_loss(flow_preds, flow_gt, valid, gamma=gamma)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -126,12 +137,27 @@ def train_flow_model(
     lr: float = 4e-4,
     total_steps: int = 100_000,
     log_every: int = 100,
+    model: str | None = None,
 ) -> FlowTrainState:
-    """Driver: iterate (img1, img2, flow_gt[, valid]) device batches."""
+    """Driver: iterate (img1, img2, flow_gt[, valid]) device batches.
+
+    model: registry name ('raft', 'raft_small', 'pwc_lite', ...); None
+    keeps the historical RAFT default.
+    """
+    predictions_fn = None
+    if model is not None:
+        from .registry import get_flow_model
+
+        fm = get_flow_model(model)
+        if fm.predictions_fn is None:
+            raise ValueError(f"flow model {model!r} is not trainable "
+                             f"(no predictions_fn registered)")
+        predictions_fn = fm.predictions_fn
     state = init_flow_train_state(variables, lr=lr, total_steps=total_steps)
     step_fn = jax.jit(
         lambda s, a, b, g, v: flow_train_step(
-            s, a, b, g, v, iters=iters, lr=lr, total_steps=total_steps
+            s, a, b, g, v, iters=iters, lr=lr, total_steps=total_steps,
+            predictions_fn=predictions_fn,
         )
     )
     for i, batch in enumerate(batches):

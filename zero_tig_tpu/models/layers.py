@@ -49,6 +49,7 @@ class Conv(nn.Module):
     strides: tuple[int, int] = (1, 1)
     padding: int | tuple[int, int] = 0
     use_bias: bool = True
+    kernel_dilation: tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x):
@@ -76,6 +77,7 @@ class Conv(nn.Module):
             w.astype(cdt),
             window_strides=self.strides,
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            rhs_dilation=self.kernel_dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=conv_precision(),
         )
