@@ -57,3 +57,22 @@ def test_graft_entry_compiles():
         assert np.isfinite(np.asarray(out[1])).all()  # H3
     finally:
         sys.path.remove(REPO)
+
+
+def test_parity_harness_selftest():
+    """tools/parity_vs_reference.py --selftest: the turnkey real-weights
+    A/B harness stays green on random-init exported weights (VERDICT r3
+    item 7). Subprocess: the harness monkeypatches torch.load/torchvision
+    globally, which must not leak into this test process."""
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "parity_vs_reference.py"),
+            "--selftest",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, (res.stdout[-1500:], res.stderr[-1500:])
+    assert "SELFTEST PASS" in res.stdout
