@@ -128,6 +128,39 @@ def main() -> None:
         f"precision={PRECISION})",
         file=sys.stderr,
     )
+
+    # Roofline accounting: achieved FLOP/s from the compiled program's own
+    # cost model vs the v5e MXU peak (197 TFLOP/s bf16). Answers "how far
+    # from speed-of-light is this frame?" without ratios to estimated
+    # baselines. Same machinery as flowtools/benchmark.py:52-58 /
+    # ptlflow_scripts model_benchmark FLOPs accounting.
+    V5E_BF16_PEAK = 197e12
+    mfu = flops_per_frame = None
+    try:
+        if CHUNK > 1:
+            lowered = predict_chunk.lower(
+                net_vars, raft_vars, frames, carry, news,
+                of_scale=OF_SCALE, raft_iters=RAFT_ITERS, emit="u8",
+            )
+        else:
+            lowered = predict_step.lower(
+                net_vars, raft_vars, frame, carry, jnp.asarray(False),
+                of_scale=OF_SCALE, raft_iters=RAFT_ITERS,
+            )
+        cost = lowered.compile().cost_analysis() or {}
+        flops_chunk = float(cost.get("flops", 0.0))
+        if flops_chunk > 0:
+            flops_per_frame = flops_chunk / max(CHUNK, 1)
+            mfu = (flops_per_frame / sec) / V5E_BF16_PEAK
+            print(
+                f"# {flops_per_frame / 1e9:.1f} GFLOP/frame -> "
+                f"{flops_per_frame / sec / 1e12:.2f} TFLOP/s achieved = "
+                f"{mfu * 100:.1f}% of v5e bf16 peak",
+                file=sys.stderr,
+            )
+    except Exception as e:  # cost model optional; never fail the bench
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -135,6 +168,15 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
+                "ms_per_frame": round(sec * 1e3, 2),
+                "mfu_vs_v5e_bf16_peak": (
+                    round(mfu, 4) if mfu is not None else None
+                ),
+                "gflops_per_frame": (
+                    round(flops_per_frame / 1e9, 1)
+                    if flops_per_frame is not None
+                    else None
+                ),
             }
         )
     )
