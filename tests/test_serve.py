@@ -122,3 +122,61 @@ def test_serve_chunked_backlog_matches_per_frame(inbox, tmp_path):
         d = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert d.max() <= 1, (os.path.basename(p), d.max())
         assert (d > 0).mean() < 0.05, os.path.basename(p)
+
+
+def test_serve_scene_parallel_spmd_matches_per_frame(inbox, tmp_path):
+    """--mesh_data 2 serving: scene streams step in lockstep as ONE sharded
+    dispatch on the virtual mesh; outputs match the single-device per-frame
+    path to u8 rounding, manifest semantics (new_seq flags) intact.
+    VERDICT r3 item 10: the serving story composes with the parallel story."""
+    import cv2
+
+    from zero_tig_tpu.cli.serve import run_serve
+
+    def run(save, mesh_data):
+        cfg = Config(
+            lowlight_images_path=inbox, save=str(tmp_path / save),
+            mesh_data=mesh_data, **TINY,
+        )
+
+        def stop_when_done():
+            deadline = time.time() + 300
+            pat = str(tmp_path / save / "**" / "*_denoise.png")
+            while (
+                len(glob.glob(pat, recursive=True)) < 6
+                and time.time() < deadline
+            ):
+                time.sleep(0.3)
+            open(os.path.join(inbox, "STOP"), "w").close()
+
+        t = threading.Thread(target=stop_when_done)
+        t.start()
+        n = run_serve(cfg, poll_sec=0.2, settle_sec=0.0, max_idle_sec=240.0)
+        t.join()
+        os.remove(os.path.join(inbox, "STOP"))
+        return n
+
+    n_spmd = run("out_spmd", 2)
+    n_single = run("out_single", 1)
+    assert n_spmd == n_single == 6
+
+    with open(str(tmp_path / "out_spmd" / "manifest.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    by_scene = {}
+    for r in records:
+        by_scene.setdefault(r["scene"], []).append(r)
+    assert len(by_scene) == 2
+    for scene, rs in by_scene.items():
+        rs = sorted(rs, key=lambda r: r["index"])
+        assert rs[0]["new_seq"] is True
+        assert all(r["new_seq"] is False for r in rs[1:]), scene
+
+    for p in sorted(
+        glob.glob(str(tmp_path / "out_spmd" / "**" / "*.png"), recursive=True)
+    ):
+        q = p.replace("out_spmd", "out_single")
+        a, b = cv2.imread(p), cv2.imread(q)
+        assert b is not None, q
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, (os.path.basename(p), d.max())
+        assert (d > 0).mean() < 0.05, os.path.basename(p)

@@ -67,6 +67,26 @@ def run_serve(
     net_vars, raft_vars = load_variables(config)
     log.info("serving %s -> %s", config.lowlight_images_path, config.save)
 
+    # --mesh_data N: scene-parallel SPMD serving (SURVEY 2.7-1 composed
+    # with the serving story) -- up to N scene streams step in lockstep as
+    # ONE sharded predict_step dispatch over the mesh's data axis, carries
+    # staying per-scene. Width sharding composes via --mesh_spatial.
+    mesh = fs = gs = None
+    if config.mesh_data > 1 or config.mesh_spatial > 1:
+        from ..parallel import (
+            flag_sharding,
+            frame_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        mesh = make_mesh(config.mesh_data, config.mesh_spatial)
+        net_vars = shard_params(mesh, net_vars)
+        raft_vars = shard_params(mesh, raft_vars)
+        fs = frame_sharding(mesh)
+        gs = flag_sharding(mesh)
+        log.info("scene-parallel serving on mesh %s", dict(mesh.shape))
+
     manifest_path = os.path.join(config.save, "manifest.jsonl")
     done: set[str] = set()
     if os.path.exists(manifest_path):
@@ -124,6 +144,7 @@ def run_serve(
                 done.add(p)
                 log.info("served %s (new_seq=%s)", rel, is_new)
 
+            todo_map: dict[str, list[str]] = {}
             for scene, paths in sorted(scenes.items()):
                 # maximal consecutive settled prefix of unserved frames
                 todo: list[str] = []
@@ -137,8 +158,78 @@ def run_serve(
                     if not settled:
                         break
                     todo.append(p)
-                if not todo:
-                    continue
+                if todo:
+                    todo_map[scene] = todo
+
+            if mesh is not None and todo_map:
+                import jax
+
+                acted = True
+                n_data = config.mesh_data
+                while any(todo_map.values()):
+                    # one frame from each of up to n_data active scenes;
+                    # short rows pad with a replica of row 0 (fresh-seq
+                    # flag, throwaway carry slot, output dropped)
+                    active = [
+                        s for s in sorted(todo_map) if todo_map[s]
+                    ][:n_data]
+                    metas, bf, bflag, ch3, cs3 = [], [], [], [], []
+                    for slot in range(n_data):
+                        if slot < len(active):
+                            scene = active[slot]
+                            p = todo_map[scene].pop(0)
+                            idx = extract_number(p)
+                            is_new = (
+                                scene not in carries
+                                or idx != last_idx.get(scene, -2) + 1
+                            )
+                            last_idx[scene] = idx
+                            metas.append((p, scene, idx, is_new))
+                            bf.append(load_frame(p))
+                            bflag.append(is_new)
+                            c = carries.get(scene)
+                            if c is None:
+                                z = np.zeros_like(bf[-1])
+                                c = {"last_H3": z, "last_s3": z}
+                            ch3.append(c["last_H3"])
+                            cs3.append(c["last_s3"])
+                        else:
+                            metas.append(None)
+                            bf.append(bf[0])
+                            bflag.append(True)
+                            ch3.append(np.zeros_like(bf[0]))
+                            cs3.append(np.zeros_like(bf[0]))
+                    f = jax.device_put(jnp.asarray(np.stack(bf)), fs)
+                    g = jax.device_put(
+                        jnp.asarray(np.asarray(bflag)), gs
+                    )
+                    carry_b = {
+                        "last_H3": jax.device_put(
+                            jnp.asarray(np.stack(ch3)), fs
+                        ),
+                        "last_s3": jax.device_put(
+                            jnp.asarray(np.stack(cs3)), fs
+                        ),
+                    }
+                    with jax.sharding.set_mesh(mesh):
+                        (H2, H3, _s3), carry_b = predict_step(
+                            net_vars, raft_vars, f, carry_b, g, **sk
+                        )
+                    H2n, H3n = np.asarray(H2), np.asarray(H3)
+                    h3b = np.asarray(carry_b["last_H3"])
+                    s3b = np.asarray(carry_b["last_s3"])
+                    for slot, meta in enumerate(metas):
+                        if meta is None:
+                            continue
+                        p, scene, idx, is_new = meta
+                        carries[scene] = {
+                            "last_H3": h3b[slot], "last_s3": s3b[slot],
+                        }
+                        emit(p, scene, idx, is_new, H2n[slot], H3n[slot])
+                        processed += 1
+                todo_map = {}
+
+            for scene, todo in sorted(todo_map.items()):
                 acted = True
                 while todo:
                     if config.chunk > 1 and len(todo) >= config.chunk:
