@@ -237,6 +237,155 @@ def test_network_train_forward_and_loss_composed(tmp_path):
     )
 
 
+def test_train_trajectory_oracle():
+    """Gradient + optimizer trajectory parity: N=3 reference torch training
+    steps (``loss.backward() -> clip_grad_norm_(5) -> Adam(1e-4, wd 3e-4)``,
+    train.py:128-131) vs N ``train_step`` calls from the same converted
+    weights. Certifies d(loss)/d(params) and the optax chain (clip FIRST,
+    then L2-in-grad weight decay, then Adam with bias correction --
+    pipeline/steps.py:37-45) at the per-parameter-update level, not just by
+    reading the chain. RAFT params are frozen in the reference
+    (model/model.py:114 requires_grad=False -> grad None -> skipped by both
+    clip and Adam), matching our separate untrained raft_vars."""
+    import jax
+    import jax.numpy as jnp
+
+    from model.model import Network
+    from zero_tig_tpu.core.checkpoint import export_torch_state_dict
+    from zero_tig_tpu.core.config import Config
+    from zero_tig_tpu.losses.zero_tig_loss import zero_tig_loss
+    from zero_tig_tpu.models.network import forward_train
+    from zero_tig_tpu.pipeline.steps import init_train_state, train_step
+
+    net_vars, raft_vars = _variables()
+    sd0 = {
+        k: torch.as_tensor(np.array(v, copy=True))
+        for k, v in export_torch_state_dict(net_vars, raft_vars).items()
+    }
+
+    ref = Network(_args())
+    model_dict = ref.state_dict()
+    model_dict.update({k: v for k, v in sd0.items() if k in model_dict})
+    ref.load_state_dict(model_dict)
+    ref.train()
+    # train.py:98 -- torch Adam is L2-in-grad (NOT AdamW)
+    opt = torch.optim.Adam(
+        ref.parameters(), lr=1e-4, betas=(0.9, 0.999), weight_decay=3e-4
+    )
+
+    cfg = Config(of_scale=1, raft_iters=12)
+    state = init_train_state(cfg, net_vars, (1, 128, 128, 3))
+
+    @jax.jit
+    def grads_of(params, batch_stats, carry, frame, new):
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            outputs, _, _ = forward_train(
+                variables, raft_vars, frame, carry, new,
+                of_scale=1, raft_iters=12, bn_train=True,
+            )
+            return zero_tig_loss(frame, outputs, is_wb=False)
+
+        return jax.grad(loss_fn)(params)
+
+    frames = _frames(3)
+    flags = [True, False, False]
+    for i, (frame, new) in enumerate(zip(frames, flags)):
+        ref.is_new_seq = new
+        ref_loss = ref._loss(_nchw(frame))
+        opt.zero_grad()
+        ref_loss.backward()
+
+        # d(loss)/d(params) parity, BEFORE clip (torch's clip_grad_norm_
+        # mutates p.grad in place). Only step 0 evaluates both frameworks at
+        # IDENTICAL parameter points: from step 1 on, the parameter clouds
+        # legitimately differ by the +-lr Adam sign-noise updates (see the
+        # trajectory comment below) and gradients are chaos-amplified, so
+        # tight elementwise gradient parity is only well-defined here.
+        # Tolerance is scaled to each tensor's gradient magnitude: f32
+        # reduction-order noise is relative to scale.
+        if i == 0:
+            g_ours = export_torch_state_dict(
+                {"params": grads_of(state.params, state.batch_stats,
+                                    state.carry, jnp.asarray(frame),
+                                    jnp.asarray(new)),
+                 "batch_stats": state.batch_stats},
+                raft_vars,
+            )
+            g_checked = 0
+            for k, p in ref.named_parameters():
+                if p.grad is None or k not in g_ours:
+                    continue
+                g_ref = p.grad.detach().numpy()
+                if k == "enhance.conv.0.bias":
+                    # The shared block's conv bias feeds train-mode
+                    # BatchNorm: the per-channel mean subtraction cancels a
+                    # constant shift EXACTLY, so d(loss)/d(bias) is
+                    # analytically zero and both frameworks produce only f32
+                    # cancellation noise here.
+                    assert np.abs(g_ref).max() < 1e-2
+                    assert np.abs(np.asarray(g_ours[k])).max() < 1e-2
+                    continue
+                scale = max(np.abs(g_ref).max(), 1e-12)
+                np.testing.assert_allclose(
+                    np.asarray(g_ours[k], dtype=np.float32), g_ref,
+                    rtol=2e-3, atol=3e-4 * scale,
+                    err_msg=f"step {i} gradient mismatch for {k}",
+                )
+                g_checked += 1
+            assert g_checked >= 10
+
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 5)
+        opt.step()
+
+        state, loss = train_step(
+            state, raft_vars, jnp.asarray(frame), jnp.asarray(new),
+            of_scale=1, raft_iters=12, bn_train=True,
+        )
+        assert float(ref_loss.detach()) == pytest.approx(float(loss), rel=2e-3), (
+            i, float(ref_loss.detach()), float(loss),
+        )
+
+    # Per-parameter update trajectory after 3 steps. Adam's update is
+    # sign-like (m_hat/sqrt(v_hat) ~ +-1 regardless of |g|), so elements
+    # whose per-step gradients alternate sign sit on a knife edge where f32
+    # reduction-order noise flips the whole +-lr step -- those cannot match
+    # bit-tightly in ANY faithful reimplementation. The certificate is:
+    # >=99.5% of elements within 6e-6 (2% of the 3-step budget), and every
+    # element within the worst-case Adam excursion (~1.1*lr per step each
+    # side). The per-step gradient check above carries the tight parity.
+    ours_sd = export_torch_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats}, raft_vars
+    )
+    ref_sd = ref.state_dict()
+    checked = 0
+    n_bad = n_all = 0
+    for k, v0 in sd0.items():
+        if (
+            k.startswith("raft.")
+            or "running_" in k
+            or "num_batches" in k
+            or k not in ref_sd
+            or k not in ours_sd
+        ):
+            continue
+        d_ref = ref_sd[k].detach().numpy() - v0.numpy()
+        d_ours = np.asarray(ours_sd[k], dtype=np.float32) - v0.numpy()
+        assert np.abs(d_ref).max() > 0, f"{k}: reference param never moved"
+        diff = np.abs(d_ours - d_ref)
+        assert diff.max() <= 2 * 1.1 * 1e-4 * 3, (
+            f"update excursion beyond the Adam bound for {k}: {diff.max():.2e}"
+        )
+        if k != "enhance.conv.0.bias":  # zero-grad tensor: noise-only steps
+            n_bad += int((diff > 6e-6).sum())
+            n_all += diff.size
+        checked += 1
+    assert checked >= 10  # all enhance/denoise conv + BN tensors
+    assert n_bad / n_all < 0.005, (
+        f"3-step Adam update mismatch: {n_bad}/{n_all} elements off by >6e-6"
+    )
+
+
 def test_finetunemodel_inference_composed(tmp_path):
     """Reference Finetunemodel.forward == forward_inference over a 3-frame
     sequence (new, cont, cont) via the saved .pt round trip."""
