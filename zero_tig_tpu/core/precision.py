@@ -18,7 +18,7 @@ from __future__ import annotations
 from jax import lax
 
 _MODE = "highest"
-_REMAT = True
+_REMAT: bool | None = None
 _PACK_CONV = False
 _XPACK = frozenset({"d1", "enh", "d2"})
 
@@ -30,16 +30,20 @@ def set_precision(mode: str) -> None:
     _MODE = mode
 
 
-def set_remat(enabled: bool) -> None:
+def set_remat(enabled: bool | None) -> None:
     """Rematerialization of the conv stacks in the train step. Required for
-    f32-faithful 1080p training (activations exceed HBM); with bf16
-    activations smaller operating points can disable it to trade memory
-    for backward-pass speed. Read at trace time."""
+    f32-faithful 1080p training (activations exceed HBM); fast mode's bf16
+    activations fit without it, and skipping the backward recompute is
+    measured 30 ms/frame faster at 1080p (562 -> 532 ms, one v5e, round 4).
+    Default (None) follows the mode at trace time: remat in 'highest', no
+    remat in 'fast'. Pass True/False to override either way."""
     global _REMAT
-    _REMAT = bool(enabled)
+    _REMAT = None if enabled is None else bool(enabled)
 
 
 def get_remat() -> bool:
+    if _REMAT is None:
+        return _MODE != "fast"
     return _REMAT
 
 
@@ -91,8 +95,12 @@ def set_raft_kernel(enabled: bool) -> None:
     path + z/r-fused GRU + flow head) into ONE Pallas kernel per
     refinement iteration (models/raft/update_kernel.py). The 45x80 loop
     is per-HLO-op-overhead-bound (~25 tiny ops/iteration); the kernel
-    runs them as in-VMEM shifted dot_generals. Read at trace time; only
-    consulted when the mode is 'fast' and B == 1."""
+    runs them as in-VMEM shifted dot_generals. Measured round 4 (one
+    v5e): 13% faster standalone per iteration (0.702 vs 0.808 ms) but
+    +0.5 ms/frame END-TO-END at 1080p even with net-buffer aliasing --
+    the custom-call boundary tax inside the scan exceeds the win, so it
+    stays opt-in. Read at trace time; only consulted when the mode is
+    'fast' and B == 1."""
     global _RAFT_KERNEL
     _RAFT_KERNEL = bool(enabled)
 

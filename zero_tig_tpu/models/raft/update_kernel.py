@@ -29,6 +29,16 @@ Parity: BasicMotionEncoder / SepConvGRU / FlowHead composition,
 reference model/RAFT/update.py:6-136. Certified against the Flax module
 path by tests/test_update_kernel.py (interpret mode on CPU; the TPU
 number gates whether the dispatch defaults on).
+
+TPU measurements (round 4, one v5e, after the concat-padding rewrite that
+made Mosaic accept the kernel -- it has no dynamic_update_slice lowering):
+standalone at (45, 80) the kernel runs 0.702 ms/iter vs 0.808 for the raw
+fused-gate apply (13% faster). END-TO-END at the 1080p chunk-32 operating
+point it LOSES: 50.10 ms/frame plain, 49.99 with input_output_aliases on
+the net buffer, vs 49.52 base -- the buffer/layout tax XLA charges at the
+custom-call boundary inside the scan exceeds the in-kernel win, the same
+mechanism that retired the packed-conv engine (NOTES_ROUND3/4). Stays
+OPT-IN (precision.set_raft_kernel) for shapes where the balance differs.
 """
 
 from __future__ import annotations
@@ -54,51 +64,46 @@ def _conv3x3_flat(xf, h, w, wtaps, bias):
     """3x3 SAME conv on a flat (h*w, Cin) buffer via 9 shifted dots.
 
     wtaps: (9, Cin, Cout) tap-major weights; bias: (1, Cout) f32.
-    Zero padding comes from a zeroed (h+2, w8+...) staging buffer; the
-    column pad ring doubles as the left/right zero border and the row pad
-    as top/bottom.
+    Zero padding is built with CONCATENATION only -- Mosaic has no
+    dynamic_update_slice lowering (probed on TPU this round), and
+    sublane-axis concat segments must be multiples of 8, so the column
+    border is an 8-wide zero block on each side (reads start at offset
+    7+dx; arbitrary sublane slice offsets DO compile). Rows concat on the
+    untiled outer axis.
     """
     cin = xf.shape[-1]
     cout = wtaps.shape[-1]
-    wpad = ((w + 2 + 7) // 8) * 8
-    buf = jnp.zeros((h + 2, wpad, cin), xf.dtype)
-    buf = jax.lax.dynamic_update_slice(
-        buf, xf.reshape(h, w, cin), (1, 1, 0)
-    )
+    x3 = xf.reshape(h, w, cin)
+    zc = jnp.zeros((h, 8, cin), xf.dtype)
+    xw = jnp.concatenate([zc, x3, zc], axis=1)
+    zr = jnp.zeros((1, w + 16, cin), xf.dtype)
+    xp = jnp.concatenate([zr, xw, zr], axis=0)
     acc = jnp.zeros((h * w, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            win = jax.lax.dynamic_slice(
-                buf, (dy, dx, 0), (h, w, cin)
-            ).reshape(h * w, cin)
+            win = xp[dy:dy + h, 7 + dx:7 + dx + w, :].reshape(h * w, cin)
             acc += _dotf(win, wtaps[dy * 3 + dx])
     return acc + bias
 
 
 def _conv1d_flat(xf, h, w, wtaps, bias, axis):
-    """1x5 (axis=1) or 5x1 (axis=0) SAME conv on flat (h*w, Cin)."""
+    """1x5 (axis=1) or 5x1 (axis=0) SAME conv on flat (h*w, Cin).
+
+    Same concat-only padding scheme as _conv3x3_flat (see there)."""
     cin = xf.shape[-1]
     cout = wtaps.shape[-1]
+    x3 = xf.reshape(h, w, cin)
     if axis == 1:
-        wpad = ((w + 4 + 7) // 8) * 8
-        buf = jnp.zeros((h, wpad, cin), xf.dtype)
-        buf = jax.lax.dynamic_update_slice(
-            buf, xf.reshape(h, w, cin), (0, 2, 0)
-        )
-        offs = [(0, k, 0) for k in range(5)]
+        zc = jnp.zeros((h, 8, cin), xf.dtype)
+        xp = jnp.concatenate([zc, x3, zc], axis=1)
+        wins = [xp[:, 6 + k:6 + k + w, :] for k in range(5)]
     else:
-        w8 = ((w + 7) // 8) * 8
-        buf = jnp.zeros((h + 4, w8, cin), xf.dtype)
-        buf = jax.lax.dynamic_update_slice(
-            buf, xf.reshape(h, w, cin), (2, 0, 0)
-        )
-        offs = [(k, 0, 0) for k in range(5)]
+        zr = jnp.zeros((2, w, cin), xf.dtype)
+        xp = jnp.concatenate([zr, x3, zr], axis=0)
+        wins = [xp[k:k + h, :, :] for k in range(5)]
     acc = jnp.zeros((h * w, cout), jnp.float32)
-    for k, off in enumerate(offs):
-        win = jax.lax.dynamic_slice(buf, off, (h, w, cin)).reshape(
-            h * w, cin
-        )
-        acc += _dotf(win, wtaps[k])
+    for k, win in enumerate(wins):
+        acc += _dotf(win.reshape(h * w, cin), wtaps[k])
     return acc + bias
 
 
@@ -252,6 +257,11 @@ def update_core_kernel(
             jax.ShapeDtypeStruct((h, w, hd), jnp.bfloat16),
             jax.ShapeDtypeStruct((h, w, 2), jnp.float32),
         ],
+        # net is dead after the call inside the refinement scan: aliasing
+        # it onto the net' output removes the copy XLA otherwise inserts
+        # around pallas results it cannot prove in-place (the round-3
+        # scan-boundary buffer-copy tax on every custom-call output).
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
