@@ -52,14 +52,20 @@ def get_mode() -> str:
 
 
 def set_pack_conv(enabled: bool) -> None:
-    """EXPERIMENTAL: packed-pair Pallas conv stacks on the fast inference
-    path (ops/pack_conv.py). The kernels themselves are ~6x XLA's conv
-    layer rate at 1080p (1.38 vs 8.3 ms/layer, measured), but end-to-end
-    the path currently LOSES (93-130 vs 72 ms/frame): every kernel
-    boundary materializes a lane-padded (N, 2C<=24) operand that XLA's
-    fused conv graph never writes to HBM. Default OFF until the glue is
-    fused into the kernels (multi-input conv kernels). Read at trace time;
-    only consulted when the mode is 'fast'."""
+    """RETIRED EXPERIMENT (kept for study): packed-pair Pallas conv stacks
+    on the fast inference path (ops/pack_conv.py). The kernels are fast
+    (1.38 ms per 64ch 3x3 layer at 1080p vs 8.3 unpacked XLA) but the
+    line is retired by round-4 measurement: (a) the shipped xpack LAYOUT
+    (plain XLA convs on the packed layout, set_xpack) already runs 1.73
+    ms/layer, capping the kernels' best-possible end-to-end margin at
+    ~1-3 ms/frame even with ZERO boundary glue; (b) measured glue is +66
+    ms/frame (multi-input kernels included); and (c) the cheapest possible
+    custom-call boundary -- the single RAFT update kernel with
+    input_output_aliases on its dead input -- still LOSES 0.5 ms/frame to
+    the pure-XLA graph (round 4, one v5e). The scan-boundary buffer/layout
+    tax on Pallas results exceeds any packed-kernel margin at this
+    operating point. Default OFF; read at trace time; only consulted when
+    the mode is 'fast'."""
     global _PACK_CONV
     _PACK_CONV = bool(enabled)
 
