@@ -135,7 +135,8 @@ def main() -> None:
     # baselines. Same machinery as flowtools/benchmark.py:52-58 /
     # ptlflow_scripts model_benchmark FLOPs accounting.
     V5E_BF16_PEAK = 197e12
-    mfu = flops_per_frame = None
+    V5E_HBM_BPS = 819e9  # ~819 GB/s HBM bandwidth per v5e chip
+    mfu = flops_per_frame = bytes_per_frame = hbm_roofline_ms = None
     try:
         if CHUNK > 1:
             lowered = predict_chunk.lower(
@@ -158,6 +159,19 @@ def main() -> None:
                 f"{mfu * 100:.1f}% of v5e bf16 peak",
                 file=sys.stderr,
             )
+        bytes_chunk = float(cost.get("bytes accessed", 0.0))
+        if bytes_chunk > 0:
+            # This frame is bandwidth-bound, not FLOP-bound (47.8 GFLOP
+            # would take 0.24 ms at MXU peak): the meaningful roofline is
+            # the HBM one -- bytes the cost model books against ~819 GB/s.
+            bytes_per_frame = bytes_chunk / max(CHUNK, 1)
+            hbm_roofline_ms = bytes_per_frame / V5E_HBM_BPS * 1e3
+            print(
+                f"# {bytes_per_frame / 1e9:.2f} GB/frame accessed -> HBM "
+                f"roofline {hbm_roofline_ms:.1f} ms/frame "
+                f"({hbm_roofline_ms / (sec * 1e3) * 100:.0f}% of measured)",
+                file=sys.stderr,
+            )
     except Exception as e:  # cost model optional; never fail the bench
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
@@ -175,6 +189,16 @@ def main() -> None:
                 "gflops_per_frame": (
                     round(flops_per_frame / 1e9, 1)
                     if flops_per_frame is not None
+                    else None
+                ),
+                "hbm_gb_per_frame": (
+                    round(bytes_per_frame / 1e9, 2)
+                    if bytes_per_frame is not None
+                    else None
+                ),
+                "hbm_roofline_ms": (
+                    round(hbm_roofline_ms, 2)
+                    if hbm_roofline_ms is not None
                     else None
                 ),
             }
