@@ -84,10 +84,36 @@ def test_remat_knob_smoke(rng):
             )
             losses[remat] = float(loss)
     finally:
-        set_remat(True)
+        set_remat(None)  # restore the mode-following default
         jax.clear_caches()
     assert np.isfinite(losses[True]) and np.isfinite(losses[False])
     assert losses[True] == pytest.approx(losses[False], rel=1e-5)
+
+
+def test_remat_default_follows_mode():
+    """Unset remat follows the precision mode (round-4: fast-mode bf16
+    activations fit 1080p HBM without remat and skipping the backward
+    recompute is 30 ms/frame faster; 'highest' f32 requires it). Explicit
+    set_remat overrides either way."""
+    from zero_tig_tpu.core.precision import (
+        get_mode, get_remat, set_precision, set_remat,
+    )
+
+    prev_mode = get_mode()
+    try:
+        set_remat(None)
+        set_precision("highest")
+        assert get_remat() is True
+        set_precision("fast")
+        assert get_remat() is False
+        set_remat(True)
+        assert get_remat() is True
+        set_precision("highest")
+        set_remat(False)
+        assert get_remat() is False
+    finally:
+        set_remat(None)
+        set_precision(prev_mode)
 
 
 def test_block_gather_matches_quad_on_smooth_maps(rng):
