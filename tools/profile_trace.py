@@ -83,6 +83,13 @@ def aggregate(
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--trace_dir",
+        help="aggregate an EXISTING jax.profiler trace directory instead "
+        "of running predict_chunk (e.g. a trace captured through "
+        "tools/tpu_worker.py); --chunk must match the frames per "
+        "dispatch of the traced program (1 for a single step)",
+    )
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--chunk", type=int, default=8)
@@ -96,6 +103,13 @@ def main(argv=None) -> None:
         "layout-assignment artifacts that per-source booking hides)",
     )
     args = ap.parse_args(argv)
+
+    if args.trace_dir:
+        aggregate(
+            args.trace_dir, args.chunk, args.top,
+            by_category=args.by_category,
+        )
+        return
 
     import jax
     import jax.numpy as jnp
