@@ -157,5 +157,30 @@ def get_xpack() -> frozenset:
     return _XPACK
 
 
+_XPACK_TRAIN: bool | None = None
+
+
+def set_xpack_train(enabled: bool | None) -> None:
+    """Packed-pair conv LAYOUT on the fast TRAINING forward
+    (models/network._forward_train_xpack): all three conv stacks and their
+    glue run in bf16 with the stacks on (B, H, W/2, 2C) packed operands
+    inside the value_and_grad graph (weights packed differentiably per
+    step; train-mode BatchNorm statistics computed on the packed layout --
+    see xla_fastpath.enhancer_xp_train).  Measured one v5e, 1080p/of3/12it
+    fast train_step (round 4): 526.4 -> 369.8 ms/frame bn_train=True,
+    524.0 -> 371.7 bn_train=False (folded eval-BN form), loss parity
+    ~0.16%.  Default (None) = ON whenever the mode is 'fast' and set_xpack
+    is non-empty; the dispatch additionally requires W % 4 == 0 (the
+    half-res stacks re-pack at W/2).  Read at trace time."""
+    global _XPACK_TRAIN
+    _XPACK_TRAIN = None if enabled is None else bool(enabled)
+
+
+def get_xpack_train() -> bool:
+    if _XPACK_TRAIN is None:
+        return bool(_XPACK)
+    return _XPACK_TRAIN
+
+
 def conv_precision() -> lax.Precision:
     return lax.Precision.HIGHEST if _MODE == "highest" else lax.Precision.DEFAULT

@@ -180,6 +180,18 @@ def forward_train(
     batch-statistics BatchNorm; epochs >= 1 train against frozen running
     stats. Pass bn_train=(epoch == 0) for bug-faithful training.
     """
+    from ..core.precision import get_mode, get_xpack_train
+
+    if (
+        get_mode() == "fast"
+        and get_xpack_train()
+        and frame.shape[1] % 2 == 0
+        and frame.shape[2] % 4 == 0
+    ):
+        return _forward_train_xpack(
+            variables, raft_vars, frame, carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+        )
     params = variables["params"]
     sg = jax.lax.stop_gradient
 
@@ -298,6 +310,148 @@ def forward_train_core(
         1.0,
     )
     H3, s3 = H5_pred[..., :3], H5_pred[..., 3:]
+
+    L_diff = texture_difference(L_pred1, L_pred2)
+    H3_denoised1, H3_denoised2 = pair_downsampler(H3)
+    H3_diff = texture_difference(H3_denoised1, H3_denoised2)
+
+    H1 = jnp.clip(L2 / s2, 0.0, 1.0)
+    H2_blur = blur(H1)
+    H3_blur = blur(H3)
+
+    outputs = TrainOutputs(
+        L_pred1, L_pred2, L2, s2, s21, s22, H2, H11, H12, H13, s13, H14, s14,
+        H3, s3, H3_pred, H4_pred, L_diff, H3_diff, H2_blur, H3_blur,
+        H3_denoised1, H3_denoised2,
+    )
+    new_carry = {"last_H3": sg(H3), "last_s3": sg(s3)}
+    return outputs, new_batch_stats, new_carry
+
+
+def _forward_train_xpack(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int,
+    raft_iters: int,
+    bn_train: bool,
+) -> tuple[TrainOutputs, dict, dict]:
+    """The fast-mode TRAINING forward on the packed-pair layout
+    (precision.set_xpack_train): bf16 activations/glue throughout and the
+    three conv stacks as packed-layout XLA convs INSIDE the value_and_grad
+    graph -- the training analogue of _forward_inference_xpack.
+
+    Same math / detach / quirk structure as forward_train +
+    forward_train_core (Parity: Network.forward, model/model.py:84-259):
+    stop_gradient on the enhancer input, the H*_pred anchors, and the whole
+    flow+warp branch; the epoch-0-only BN schedule via bn_train. Weight
+    packing (xla_fastpath.precompute_train) is differentiable, so
+    d(loss)/d(original params) flows through the packing concats; packed
+    products are identical to the unpacked fast path up to bf16
+    accumulation order (glue here is bf16 where the unpacked fast path
+    promotes to f32 -- the halved-traffic operating point; gated by
+    tests/test_xpack_train.py trajectory equivalence). The analysis tail
+    feeding the loss (texture masks, blurs, the H3 pair-downsamples) runs
+    in f32 exactly like the unpacked path.
+    """
+    from ..core.precision import get_remat
+    from ..ops.xpack import pack2, unpack2
+    from .xla_fastpath import (
+        denoise1_xp,
+        denoise2_xp,
+        enhancer_xp_train,
+        precompute_train,
+    )
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sg = jax.lax.stop_gradient
+    pre = precompute_train(params)
+    maybe_ckpt = jax.checkpoint if get_remat() else (lambda f: f)
+
+    _d1 = maybe_ckpt(
+        lambda pd, x: unpack2(
+            denoise1_xp(
+                {"d1": pd},
+                pack2(jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))),
+            )
+        )[..., :3]
+    )
+    d1 = functools.partial(_d1, pre["d1"])
+    _d2 = maybe_ckpt(
+        lambda pd, x: unpack2(denoise2_xp({"d2": pd}, pack2(x)))
+    )
+    d2 = functools.partial(_d2, pre["d2"])
+
+    inp = (frame + EPS).astype(jnp.bfloat16)
+    L11, L12 = pair_downsampler(inp)
+    L_pred1 = L11 - d1(L11)
+    L_pred2 = L12 - d1(L12)
+    L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
+
+    warped_H3, warped_s3 = update_cache(
+        raft_vars,
+        carry["last_H3"].astype(jnp.bfloat16),
+        carry["last_s3"].astype(jnp.bfloat16),
+        sg(L2),
+        of_scale=of_scale,
+        raft_iters=raft_iters,
+    )
+    zero = jnp.zeros_like(L2)
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    last_H3_wp = jnp.where(new_flag, zero, warped_H3).astype(jnp.bfloat16)
+    last_s3_wp = jnp.where(new_flag, zero, warped_s3).astype(jnp.bfloat16)
+
+    last_H31_wp, last_H32_wp = pair_downsampler(last_H3_wp)
+    last_s31_wp, last_s32_wp = pair_downsampler(last_s3_wp)
+
+    enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
+    _enh = maybe_ckpt(
+        lambda ep, es, x: enhancer_xp_train(
+            ep, es, pack2(x), bn_train=bn_train
+        )
+    )
+    s2_p, new_bn = _enh(params["enhance"], batch_stats["enhance"], enh_in)
+    s2 = unpack2(s2_p)
+    new_batch_stats = {"enhance": new_bn} if bn_train else batch_stats
+
+    s21, s22 = pair_downsampler(s2)
+    H2 = jnp.clip(inp / s2, EPS, 1.0)
+    H11 = jnp.clip(L11 / s21, EPS, 1.0)
+    H12 = jnp.clip(L12 / s22, EPS, 1.0)
+
+    H3_pred = jnp.clip(
+        sg(jnp.concatenate([H11, s21], -1))
+        - d2(jnp.concatenate([last_H31_wp, last_s31_wp, H11, s21], -1)),
+        EPS,
+        1.0,
+    )
+    H4_pred = jnp.clip(
+        sg(jnp.concatenate([H12, s22], -1))
+        - d2(jnp.concatenate([last_H32_wp, last_s32_wp, H12, s22], -1)),
+        EPS,
+        1.0,
+    )
+    H5_pred = jnp.clip(
+        sg(jnp.concatenate([H2, s2], -1))
+        - d2(jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1)),
+        EPS,
+        1.0,
+    )
+
+    # boundary to the loss: f32, like the unpacked fast path's glue -- the
+    # texture masks (0.975 threshold), blurs and loss reductions keep f32
+    # resolution
+    f32 = lambda t: t.astype(jnp.float32)
+    L_pred1, L_pred2, L2 = f32(L_pred1), f32(L_pred2), f32(L2)
+    s2, s21, s22 = f32(s2), f32(s21), f32(s22)
+    H2, H11, H12 = f32(H2), f32(H11), f32(H12)
+    H3_pred, H4_pred = f32(H3_pred), f32(H4_pred)
+    H13, s13 = H3_pred[..., :3], H3_pred[..., 3:]
+    H14, s14 = H4_pred[..., :3], H4_pred[..., 3:]
+    H3, s3 = f32(H5_pred[..., :3]), f32(H5_pred[..., 3:])
 
     L_diff = texture_difference(L_pred1, L_pred2)
     H3_denoised1, H3_denoised2 = pair_downsampler(H3)

@@ -111,6 +111,86 @@ def precompute(params: dict, batch_stats: dict, parts=None) -> dict:
     return pre
 
 
+def precompute_train(params: dict) -> dict:
+    """Differentiable packed-weight pytree for the TRAIN fast path.
+
+    Unlike ``precompute`` this never folds BatchNorm (train-mode BN needs
+    live batch statistics) and is called INSIDE the loss function, so
+    gradients flow back through the packing concats to the original
+    parameters (the zero quadrants are constants and absorb nothing).
+    """
+    return {
+        "d1": _pack_denoise(params["denoise_1"], cin_pad=1, cout_pad=1),
+        "d2": _pack_denoise(params["denoise_2"]),
+    }
+
+
+def enhancer_xp_train(
+    enh_params: dict, enh_stats: dict, xp: jax.Array, *, bn_train: bool
+) -> tuple[jax.Array, dict]:
+    """Enhancer on the packed-pair layout with the TRAINING BatchNorm
+    schedule. Returns (packed s2, new enhancer batch_stats subtree).
+
+    Parity: Enhancer (model/model.py:47-81) with the shared conv+BN+ReLU
+    block applied 3x (one weight set; running stats updated 3x per forward
+    when bn_train). Packed-pair batch statistics: lanes [c] and [C+c] hold
+    the SAME original channel for the even/odd pixel of a pair, and both
+    lane groups cover equally many pixels, so the per-channel batch mean is
+    the average of the two lane-group means; variance uses the fast-mode
+    one-pass E[x^2] - mean^2 form (cf. layers.instance_norm). Stats and
+    normalization arithmetic are f32 like TorchBatchNorm; momentum 0.1 and
+    the unbiased-variance running update match layers.TorchBatchNorm.
+    """
+    C = enh_params["block"]["bn"]["scale"].shape[0]
+    in_k = blocks3x3(enh_params["in_conv"]["kernel"])
+    in_b = pairc(enh_params["in_conv"]["bias"])
+    sh_k = blocks3x3(enh_params["block"]["conv"]["kernel"])
+    out_k = blocks3x3(enh_params["out_conv"]["kernel"])
+    out_b = pairc(enh_params["out_conv"]["bias"])
+    r_mean = enh_stats["block"]["bn"]["mean"]
+    r_var = enh_stats["block"]["bn"]["var"]
+
+    p = conv3x3p(xp, in_k, in_b, act="relu")
+    if not bn_train:
+        # epochs >= 1 (the reference's frozen-BN schedule): running stats
+        # are step constants, so fold conv bias + BN into a per-channel
+        # scale/shift exactly like the inference path (the fold is
+        # differentiable wrt bn scale/bias and the conv bias). Measured
+        # one v5e, 1080p train step: normalize-the-f32-upcast variant
+        # 453.7 ms/frame, this folded form 371.7 (plain unpacked 524.0).
+        scale, shift = folded_bn(enh_params, enh_stats)
+        scale2, shift2 = pairc(scale), pairc(shift)
+        for _ in range(3):
+            p = conv3x3p(
+                p, sh_k, scale2=scale2, shift2=shift2,
+                act="relu", residual=True,
+            )
+        out = conv3x3p(p, out_k, out_b, act="sigmoid_clip")
+        return out, {"block": {"bn": {"mean": r_mean, "var": r_var}}}
+
+    sh_b = pairc(enh_params["block"]["conv"]["bias"])
+    scale = enh_params["block"]["bn"]["scale"].astype(jnp.float32)
+    bias = enh_params["block"]["bn"]["bias"].astype(jnp.float32)
+    b, h, wp, _ = xp.shape
+    n = b * h * (2 * wp)
+    for _ in range(3):
+        y = conv3x3p(p, sh_k, sh_b)
+        yf = y.astype(jnp.float32)
+        m2 = jnp.mean(yf, axis=(0, 1, 2))
+        e2 = jnp.mean(yf * yf, axis=(0, 1, 2))
+        mean_c = 0.5 * (m2[:C] + m2[C:])
+        ex2_c = 0.5 * (e2[:C] + e2[C:])
+        var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
+        unbiased = var_c * (n / max(n - 1, 1))
+        r_mean = 0.9 * r_mean + 0.1 * mean_c
+        r_var = 0.9 * r_var + 0.1 * unbiased
+        inv = jax.lax.rsqrt(var_c + _BN_EPS) * scale
+        yn = (yf - pairc(mean_c)) * pairc(inv) + pairc(bias)
+        p = p + jnp.maximum(yn, 0.0).astype(p.dtype)
+    out = conv3x3p(p, out_k, out_b, act="sigmoid_clip")
+    return out, {"block": {"bn": {"mean": r_mean, "var": r_var}}}
+
+
 def _denoise_xp(pre: dict, xp: jax.Array) -> jax.Array:
     p = conv3x3p(xp, pre["k1"], pre["b1"], act="leaky")
     p = conv3x3p(p, pre["k2"], pre["b2"], act="leaky")
