@@ -122,6 +122,101 @@ def test_loss_and_grad_match_plain_fast(setup):
     assert cos > 0.98, cos
 
 
+@pytest.mark.parametrize("packed", [True, False])
+def test_split_flow_step_matches_monolithic(setup, packed):
+    """train_step_split (flow+warp as its own dispatch) must reproduce the
+    single-program train_step exactly: the seam is the reference's
+    torch.no_grad flow block, so no gradient crosses it and the update
+    phase consumes identical warped tensors."""
+    from zero_tig_tpu.pipeline import train_step_split
+
+    net_vars, raft_vars, frame, carry = setup
+    precision.set_xpack_train(packed)
+    jax.clear_caches()
+    cfg = Config(of_scale=2, raft_iters=2)
+    s1 = init_train_state(cfg, net_vars, frame.shape)._replace(
+        carry=dict(carry)
+    )
+    s2 = init_train_state(cfg, net_vars, frame.shape)._replace(
+        carry=dict(carry)
+    )
+    s1, l1 = train_step(
+        s1, raft_vars, frame, jnp.asarray(False),
+        of_scale=2, raft_iters=2, bn_train=True,
+    )
+    s2, l2 = train_step_split(
+        s2, raft_vars, frame, jnp.asarray(False),
+        of_scale=2, raft_iters=2, bn_train=True,
+    )
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s2.carry["last_H3"]), np.asarray(s1.carry["last_H3"]),
+        atol=1e-6,
+    )
+
+
+def test_xpack_train_width_sharded_matches_single_device(setup):
+    """The packed fast train step under width ('spatial') sharding must be
+    a pure layout decision: the pack2 (W -> W/2, 2C) reshapes, the packed
+    convs' halo exchanges, and the packed-lane train-BN reductions all
+    cross the shard boundary. Mirrors test_parallel's width-sharding
+    equivalence, on the fast/packed operating point."""
+    from zero_tig_tpu.losses.zero_tig_loss import zero_tig_loss
+    from zero_tig_tpu.parallel import frame_sharding, make_mesh, shard_params
+
+    net_vars, raft_vars, frame, carry = setup
+    precision.set_xpack_train(True)
+    jax.clear_caches()
+
+    def loss_and_grad(params, frame_, carry_):
+        def loss_fn(p):
+            variables = {
+                "params": p, "batch_stats": net_vars["batch_stats"]
+            }
+            outs, _, new_carry = forward_train(
+                variables, raft_vars, frame_, carry_, jnp.asarray(False),
+                of_scale=2, raft_iters=2, bn_train=True,
+            )
+            return zero_tig_loss(frame_, outs), new_carry
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    (loss_1, carry_1), grad_1 = loss_and_grad(
+        net_vars["params"], frame, carry
+    )
+
+    mesh = make_mesh(1, 2)
+    fs = frame_sharding(mesh)
+    with jax.sharding.set_mesh(mesh):
+        (loss_n, carry_n), grad_n = loss_and_grad(
+            shard_params(mesh, net_vars["params"]),
+            jax.device_put(frame, fs),
+            jax.device_put(carry, fs),
+        )
+
+    assert float(loss_1) == pytest.approx(float(loss_n), rel=2e-3)
+    for k in ("last_H3", "last_s3"):
+        np.testing.assert_allclose(
+            np.asarray(carry_n[k]), np.asarray(carry_1[k]), atol=2e-2
+        )
+    flat_1 = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grad_1)]
+    )
+    flat_n = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grad_n)]
+    )
+    cos = float(
+        jnp.vdot(flat_1, flat_n)
+        / (jnp.linalg.norm(flat_1) * jnp.linalg.norm(flat_n))
+    )
+    assert cos > 0.999, cos
+
+
 def test_train_trajectory_matches_plain_fast(setup):
     net_vars, raft_vars, frame, carry = setup
     cfg = Config(of_scale=2, raft_iters=2)

@@ -167,6 +167,7 @@ def forward_train(
     of_scale: int = 3,
     raft_iters: int = 12,
     bn_train: bool = True,
+    warped: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[TrainOutputs, dict, dict]:
     """Full training forward. Returns (outputs, new_batch_stats, new_carry).
 
@@ -179,6 +180,15 @@ def forward_train(
     per-epoch image dump -- is never reverted, so only EPOCH 0 trains with
     batch-statistics BatchNorm; epochs >= 1 train against frozen running
     stats. Pass bn_train=(epoch == 0) for bug-faithful training.
+
+    warped: optional precomputed (warped_H3, warped_s3) pair -- the raw
+    update_cache outputs, computed in a SEPARATE dispatch (the flow phase
+    is gradient-free, reference torch.no_grad, so splitting it off is
+    semantics-preserving; pipeline.train_step_split uses this to keep the
+    warp's patchify gather table out of the value_and_grad graph, where
+    XLA's layout assignment materializes it through a channel-major
+    zero-fill loop). None = compute update_cache inline (the default
+    single-program step).
     """
     from ..core.precision import get_mode, get_xpack_train
 
@@ -191,28 +201,97 @@ def forward_train(
         return _forward_train_xpack(
             variables, raft_vars, frame, carry, is_new_seq,
             of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+            warped=warped,
         )
     params = variables["params"]
     sg = jax.lax.stop_gradient
 
     inp = frame + EPS
-    L2_flow = jnp.clip(
-        inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
-    )
-    warped_H3, warped_s3 = update_cache(
-        raft_vars,
-        carry["last_H3"],
-        carry["last_s3"],
-        sg(L2_flow),
-        of_scale=of_scale,
-        raft_iters=raft_iters,
-    )
+    if warped is not None:
+        warped_H3, warped_s3 = warped
+        L2_flow = warped_H3  # any same-shaped tensor: only zeros_like below
+    else:
+        L2_flow = jnp.clip(
+            inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp),
+            EPS, 1.0,
+        )
+        warped_H3, warped_s3 = update_cache(
+            raft_vars,
+            carry["last_H3"],
+            carry["last_s3"],
+            sg(L2_flow),
+            of_scale=of_scale,
+            raft_iters=raft_iters,
+        )
     zero = jnp.zeros_like(L2_flow)
     new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
     last_H3_wp = jnp.where(new_flag, zero, warped_H3)
     last_s3_wp = jnp.where(new_flag, zero, warped_s3)
     return forward_train_core(
         variables, frame, last_H3_wp, last_s3_wp, bn_train=bn_train
+    )
+
+
+def train_flow_phase(
+    variables: dict,
+    raft_vars: Any,
+    frame: jax.Array,
+    carry: dict,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+) -> tuple[jax.Array, jax.Array]:
+    """The gradient-free flow+warp prefix of forward_train, standalone.
+
+    Returns the raw update_cache outputs (warped_H3, warped_s3) exactly as
+    the in-graph step computes them (including the packed-d1 L2 when the
+    xpack train path would dispatch), so
+    ``forward_train(..., warped=train_flow_phase(...))`` reproduces the
+    single-program step. Dispatching this as its own program keeps the
+    warp's patchify gather table in an inference-like graph where XLA
+    fuses it into one pass (pipeline.train_step_split).
+    Parity: the torch.no_grad flow block, model/model.py:221-259.
+    """
+    from ..core.precision import get_mode, get_xpack_train
+
+    params = variables["params"]
+    if (
+        get_mode() == "fast"
+        and get_xpack_train()
+        and frame.shape[1] % 2 == 0
+        and frame.shape[2] % 4 == 0
+    ):
+        from ..ops.xpack import pack2, unpack2
+        from .xla_fastpath import denoise1_xp, precompute_train
+
+        pre = precompute_train(params)
+        inp = (frame + EPS).astype(jnp.bfloat16)
+        r = unpack2(
+            denoise1_xp(
+                {"d1": pre["d1"]},
+                pack2(jnp.pad(inp, ((0, 0), (0, 0), (0, 0), (0, 1)))),
+            )
+        )[..., :3]
+        L2 = jnp.clip(inp - r, EPS, 1.0)
+        return update_cache(
+            raft_vars,
+            carry["last_H3"].astype(jnp.bfloat16),
+            carry["last_s3"].astype(jnp.bfloat16),
+            jax.lax.stop_gradient(L2),
+            of_scale=of_scale,
+            raft_iters=raft_iters,
+        )
+    inp = frame + EPS
+    L2_flow = jnp.clip(
+        inp - DENOISE_1.apply({"params": params["denoise_1"]}, inp), EPS, 1.0
+    )
+    return update_cache(
+        raft_vars,
+        carry["last_H3"],
+        carry["last_s3"],
+        jax.lax.stop_gradient(L2_flow),
+        of_scale=of_scale,
+        raft_iters=raft_iters,
     )
 
 
@@ -338,6 +417,7 @@ def _forward_train_xpack(
     of_scale: int,
     raft_iters: int,
     bn_train: bool,
+    warped: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[TrainOutputs, dict, dict]:
     """The fast-mode TRAINING forward on the packed-pair layout
     (precision.set_xpack_train): bf16 activations/glue throughout and the
@@ -391,14 +471,17 @@ def _forward_train_xpack(
     L_pred2 = L12 - d1(L12)
     L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
 
-    warped_H3, warped_s3 = update_cache(
-        raft_vars,
-        carry["last_H3"].astype(jnp.bfloat16),
-        carry["last_s3"].astype(jnp.bfloat16),
-        sg(L2),
-        of_scale=of_scale,
-        raft_iters=raft_iters,
-    )
+    if warped is not None:
+        warped_H3, warped_s3 = warped
+    else:
+        warped_H3, warped_s3 = update_cache(
+            raft_vars,
+            carry["last_H3"].astype(jnp.bfloat16),
+            carry["last_s3"].astype(jnp.bfloat16),
+            sg(L2),
+            of_scale=of_scale,
+            raft_iters=raft_iters,
+        )
     zero = jnp.zeros_like(L2)
     new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
     last_H3_wp = jnp.where(new_flag, zero, warped_H3).astype(jnp.bfloat16)

@@ -8,6 +8,7 @@ from .steps import (
     make_optimizer,
     predict_step,
     train_step,
+    train_step_split,
 )
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "make_optimizer",
     "predict_step",
     "train_step",
+    "train_step_split",
     "train_step_spatial",
 ]

@@ -108,6 +108,108 @@ def train_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("of_scale", "raft_iters"))
+def _flow_phase_step(
+    params, batch_stats, raft_vars, frame, carry,
+    *, of_scale: int, raft_iters: int,
+):
+    from ..models.network import train_flow_phase
+
+    return train_flow_phase(
+        {"params": params, "batch_stats": batch_stats},
+        raft_vars, frame, carry,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "bn_train"),
+)
+def _train_update_phase(
+    state: TrainState,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    warped: tuple[jax.Array, jax.Array],
+    *,
+    of_scale: int,
+    raft_iters: int,
+    is_wb: bool,
+    lr: float,
+    grad_clip: float,
+    weight_decay: float,
+    bn_train: bool,
+) -> tuple[TrainState, jax.Array]:
+    cfg = Config(
+        lr=lr, grad_clip=grad_clip, weight_decay=weight_decay,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+    opt = make_optimizer(cfg)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        outputs, new_bs, new_carry = forward_train(
+            variables, None, frame, state.carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+            warped=warped,
+        )
+        loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
+        return loss, (new_bs, new_carry)
+
+    (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(new_params, new_bs, new_opt_state, new_carry),
+        loss,
+    )
+
+
+def train_step_split(
+    state: TrainState,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    is_wb: bool = False,
+    lr: float = 1e-4,
+    grad_clip: float = 5.0,
+    weight_decay: float = 3e-4,
+    bn_train: bool = True,
+) -> tuple[TrainState, jax.Array]:
+    """train_step as TWO dispatched programs: the gradient-free flow+warp
+    phase (models.network.train_flow_phase), then value_and_grad + the
+    optimizer with the warps as inputs.
+
+    Same math as train_step (the flow block is torch.no_grad in the
+    reference, model/model.py:221-259, so nothing differentiates through
+    the seam; bit-identical on CPU, tests/test_xpack_train.py). Built to
+    evict the warp's patchify gather table from the value_and_grad graph,
+    where XLA materializes it through a channel-major zero-fill DUS loop
+    (~22 ms/frame booked at 1080p, round-4 trace). MEASURED OUTCOME (one
+    v5e, 1080p/of3/12it, packed fast): split 377.1/377.8 ms/frame
+    (bn_train True/False) vs monolithic 369.8/371.7 -- the dispatch seam
+    + lost cross-phase overlap cost more than the DUS loop, which the
+    scheduler evidently hides behind MXU work. Stays OPT-IN: it still
+    drops the RAFT weights and the whole flow graph from the grad
+    program's live set, which matters when resolution pushes HBM, not
+    latency. (An optimization_barrier on the patchify concat was also
+    measured: 384.2 -- forcing materialization is strictly worse.)
+    """
+    warped = _flow_phase_step(
+        state.params, state.batch_stats, raft_vars, frame, state.carry,
+        of_scale=of_scale, raft_iters=raft_iters,
+    )
+    return _train_update_phase(
+        state, frame, is_new_seq, warped,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb, lr=lr,
+        grad_clip=grad_clip, weight_decay=weight_decay, bn_train=bn_train,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("of_scale", "raft_iters", "enh_scale")
 )
