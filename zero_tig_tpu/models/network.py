@@ -438,7 +438,7 @@ def _forward_train_xpack(
     in f32 exactly like the unpacked path.
     """
     from ..core.precision import get_remat
-    from ..ops.xpack import pack2, unpack2
+    from ..ops.xpack import cat_packed, pack2, unpack2
     from .xla_fastpath import (
         denoise1_xp,
         denoise2_xp,
@@ -464,12 +464,27 @@ def _forward_train_xpack(
         lambda pd, x: unpack2(denoise2_xp({"d2": pd}, pack2(x)))
     )
     d2 = functools.partial(_d2, pre["d2"])
+    _d1p = maybe_ckpt(lambda pd, xp: denoise1_xp({"d1": pd}, xp))
+    _d2p = maybe_ckpt(lambda pd, xp: denoise2_xp({"d2": pd}, xp))
+
+    def lane6(t8):
+        # drop the 8-lane pad channel of each pixel half: [p0 c0..c2 |
+        # p1 c0..c2] -- a lane shuffle XLA folds, not a spatial relayout
+        return jnp.concatenate([t8[..., 0:3], t8[..., 4:7]], axis=-1)
 
     inp = (frame + EPS).astype(jnp.bfloat16)
     L11, L12 = pair_downsampler(inp)
     L_pred1 = L11 - d1(L11)
     L_pred2 = L12 - d1(L12)
-    L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
+
+    # full-res chain on PACKED operands end to end: same elements as the
+    # unpacked glue (elementwise ops commute with the layout), no unpacked
+    # full-res concats, and the (wH3, ws3) pair packs ONCE instead of
+    # inside both the enhancer and d2 input packs
+    inp_p8 = pack2(jnp.pad(inp, ((0, 0), (0, 0), (0, 0), (0, 1))))
+    inp_p = lane6(inp_p8)
+    L2_p = jnp.clip(inp_p - lane6(_d1p(pre["d1"], inp_p8)), EPS, 1.0)
+    L2 = unpack2(L2_p)
 
     if warped is not None:
         warped_H3, warped_s3 = warped
@@ -482,26 +497,25 @@ def _forward_train_xpack(
             of_scale=of_scale,
             raft_iters=raft_iters,
         )
-    zero = jnp.zeros_like(L2)
+    w6 = jnp.concatenate([warped_H3, warped_s3], axis=-1).astype(jnp.bfloat16)
     new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
-    last_H3_wp = jnp.where(new_flag, zero, warped_H3).astype(jnp.bfloat16)
-    last_s3_wp = jnp.where(new_flag, zero, warped_s3).astype(jnp.bfloat16)
+    w6 = jnp.where(new_flag, jnp.zeros_like(w6), w6)
+    last_H3_wp, last_s3_wp = w6[..., :3], w6[..., 3:]
+    w6_p = pack2(w6)
 
     last_H31_wp, last_H32_wp = pair_downsampler(last_H3_wp)
     last_s31_wp, last_s32_wp = pair_downsampler(last_s3_wp)
 
-    enh_in = sg(jnp.concatenate([last_H3_wp, last_s3_wp, L2], axis=-1))
+    enh_in_p = sg(cat_packed([w6_p, L2_p]))
     _enh = maybe_ckpt(
-        lambda ep, es, x: enhancer_xp_train(
-            ep, es, pack2(x), bn_train=bn_train
-        )
+        lambda ep, es, xp: enhancer_xp_train(ep, es, xp, bn_train=bn_train)
     )
-    s2_p, new_bn = _enh(params["enhance"], batch_stats["enhance"], enh_in)
+    s2_p, new_bn = _enh(params["enhance"], batch_stats["enhance"], enh_in_p)
     s2 = unpack2(s2_p)
     new_batch_stats = {"enhance": new_bn} if bn_train else batch_stats
 
     s21, s22 = pair_downsampler(s2)
-    H2 = jnp.clip(inp / s2, EPS, 1.0)
+    H2 = jnp.clip(inp / s2, EPS, 1.0)  # unpacked twin of H2_p: same elements
     H11 = jnp.clip(L11 / s21, EPS, 1.0)
     H12 = jnp.clip(L12 / s22, EPS, 1.0)
 
@@ -517,11 +531,14 @@ def _forward_train_xpack(
         EPS,
         1.0,
     )
-    H5_pred = jnp.clip(
-        sg(jnp.concatenate([H2, s2], -1))
-        - d2(jnp.concatenate([last_H3_wp, last_s3_wp, H2, s2], -1)),
-        EPS,
-        1.0,
+    H2_p = jnp.clip(inp_p / s2_p, EPS, 1.0)
+    H5_pred = unpack2(
+        jnp.clip(
+            sg(cat_packed([H2_p, s2_p]))
+            - _d2p(pre["d2"], cat_packed([w6_p, H2_p, s2_p])),
+            EPS,
+            1.0,
+        )
     )
 
     # boundary to the loss: f32, like the unpacked fast path's glue -- the
