@@ -125,6 +125,7 @@ def _band_grad(
         outputs, _, _ = forward_train_core(
             {"params": p, "batch_stats": batch_stats},
             frame_sl, wH3_sl, ws3_sl, bn_train=False,
+            loss_tail="nhwc",  # region masking needs the per-map blurs
         )
         region = Region(slice_start, own_start, own_end, full_h)
         loss = zero_tig_loss(
@@ -202,8 +203,11 @@ def _bn_fwd0_band(
     pre = Conv(C, (3, 3), padding=1).apply(
         {"params": enh_params["block"]["conv"]}, fea
     )
-    m = _own_mask(slice_h, slice_start, own_start, own_end, sl.dtype)
-    return fea, pre, jnp.sum(pre * m, axis=(0, 1, 2))
+    # statistics accumulate in f32 regardless of precision mode (in fast
+    # mode the Conv outputs are bf16; a bf16 reduction here would silently
+    # degrade the "exact" pass-A stats -- ADVICE r4)
+    m = _own_mask(slice_h, slice_start, own_start, own_end, jnp.float32)
+    return fea, pre, jnp.sum(pre.astype(jnp.float32) * m, axis=(0, 1, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("slice_h",))
@@ -227,8 +231,8 @@ def _bn_fwdk_band(
     pre2 = Conv(C, (3, 3), padding=1).apply(
         {"params": enh_params["block"]["conv"]}, fea
     )
-    m = _own_mask(slice_h, slice_start, own_start, own_end, fea.dtype)
-    return fea, pre2, jnp.sum(pre2 * m, axis=(0, 1, 2))
+    m = _own_mask(slice_h, slice_start, own_start, own_end, jnp.float32)
+    return fea, pre2, jnp.sum(pre2.astype(jnp.float32) * m, axis=(0, 1, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("slice_h",))
@@ -237,8 +241,10 @@ def _bn_s2_band(
 ):
     """Centered-variance partial sum over the cached pre-BN tensor: the
     exact sum((x - mean)^2) second sweep, now conv-free."""
-    m = _own_mask(slice_h, slice_start, own_start, own_end, pre.dtype)
-    return jnp.sum(jnp.square(pre - mean) * m, axis=(0, 1, 2))
+    m = _own_mask(slice_h, slice_start, own_start, own_end, jnp.float32)
+    return jnp.sum(
+        jnp.square(pre.astype(jnp.float32) - mean) * m, axis=(0, 1, 2)
+    )
 
 
 def _stage_sums(enh_vars, enh_in_sl, stats, mean_k, row_mask, stage: int):
@@ -300,6 +306,7 @@ def _band_grad_bn(
         outputs, _, _ = forward_train_core(
             {"params": p, "batch_stats": batch_stats},
             frame_sl, wH3_sl, ws3_sl, bn_train=False, bn_overrides=st,
+            loss_tail="nhwc",
         )
         region = Region(slice_start, own_start, own_end, full_h)
         loss = zero_tig_loss(

@@ -60,6 +60,44 @@ def init_train_state(
     )
 
 
+def _grad_and_apply(
+    state: TrainState,
+    opt: optax.GradientTransformation,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    warped: tuple[jax.Array, jax.Array] | None,
+    *,
+    of_scale: int,
+    raft_iters: int,
+    is_wb: bool,
+    bn_train: bool,
+) -> tuple[TrainState, jax.Array]:
+    """The shared value_and_grad + clip + Adam body of train_step /
+    train_step_split's update phase / train_chunk (one definition so
+    optimizer-parity fixes cannot drift between the entry points)."""
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        outputs, new_bs, new_carry = forward_train(
+            variables, raft_vars, frame, state.carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
+            warped=warped,
+        )
+        loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
+        return loss, (new_bs, new_carry)
+
+    (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(new_params, new_bs, new_opt_state, new_carry),
+        loss,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "bn_train"),
 )
@@ -87,24 +125,10 @@ def train_step(
         of_scale=of_scale, raft_iters=raft_iters,
     )
     opt = make_optimizer(cfg)
-
-    def loss_fn(params):
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        outputs, new_bs, new_carry = forward_train(
-            variables, raft_vars, frame, state.carry, is_new_seq,
-            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
-        )
-        loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
-        return loss, (new_bs, new_carry)
-
-    (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
-    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return (
-        TrainState(new_params, new_bs, new_opt_state, new_carry),
-        loss,
+    return _grad_and_apply(
+        state, opt, raft_vars, frame, is_new_seq, None,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+        bn_train=bn_train,
     )
 
 
@@ -144,25 +168,10 @@ def _train_update_phase(
         of_scale=of_scale, raft_iters=raft_iters,
     )
     opt = make_optimizer(cfg)
-
-    def loss_fn(params):
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        outputs, new_bs, new_carry = forward_train(
-            variables, None, frame, state.carry, is_new_seq,
-            of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
-            warped=warped,
-        )
-        loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
-        return loss, (new_bs, new_carry)
-
-    (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
-    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return (
-        TrainState(new_params, new_bs, new_opt_state, new_carry),
-        loss,
+    return _grad_and_apply(
+        state, opt, None, frame, is_new_seq, warped,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+        bn_train=bn_train,
     )
 
 
@@ -328,22 +337,11 @@ def train_chunk(
 
     def body(st, inp):
         frame, flag = inp
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": st.batch_stats}
-            outputs, new_bs, new_carry = forward_train(
-                variables, raft_vars, frame, st.carry, flag,
-                of_scale=of_scale, raft_iters=raft_iters, bn_train=bn_train,
-            )
-            loss = zero_tig_loss(frame, outputs, is_wb=is_wb)
-            return loss, (new_bs, new_carry)
-
-        (loss, (new_bs, new_carry)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(st.params)
-        updates, new_opt = opt.update(grads, st.opt_state, st.params)
-        new_params = optax.apply_updates(st.params, updates)
-        return TrainState(new_params, new_bs, new_opt, new_carry), loss
+        return _grad_and_apply(
+            st, opt, raft_vars, frame, flag, None,
+            of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+            bn_train=bn_train,
+        )
 
     state, losses = jax.lax.scan(body, state, (frames, is_new_seq))
     return state, losses
