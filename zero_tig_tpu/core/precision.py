@@ -171,7 +171,10 @@ def set_xpack_train(enabled: bool | None) -> None:
     524.0 -> 371.7 bn_train=False (folded eval-BN form), loss parity
     ~0.16%.  Default (None) = ON whenever the mode is 'fast' and set_xpack
     is non-empty; the dispatch additionally requires W % 4 == 0 (the
-    half-res stacks re-pack at W/2).  Read at trace time."""
+    half-res stacks re-pack at W/2) and H % 2 == 0 (pair_downsampler).
+    A frame failing either gate SILENTLY falls back to the unpacked
+    train forward -- same math, round-4 pre-xpack speed.  Read at trace
+    time."""
     global _XPACK_TRAIN
     _XPACK_TRAIN = None if enabled is None else bool(enabled)
 
@@ -180,6 +183,43 @@ def get_xpack_train() -> bool:
     if _XPACK_TRAIN is None:
         return bool(_XPACK)
     return _XPACK_TRAIN
+
+
+_LOSS_TAIL: str | None = None
+
+
+def set_loss_tail(layout: str | None) -> None:
+    """Layout of the f32 3-channel TRAINING loss-tail filters (the Color
+    blur and the Var local variances -- ops/filters.py), the largest
+    remaining structural target in the packed train step (round-4 trace:
+    ~63 ms/frame booked on filters.py lines, ~30x their HBM roofline from
+    3-of-128 lane padding).
+
+      * "wminor": (B, C, H, W) shifted-add formulations
+        (ops.filters.blur_wminor / local_variance_wminor; measured 3.2x
+        faster standalone for the blur) PLUS the single-blur Color
+        rewrite: MSE(blur(H1).detach(), blur(H3)) == mean(blur(sg(H1) -
+        H3)^2) exactly (blur is linear; the detach placement gives the
+        identical gradient), eliminating one full-res 21x21 blur
+        outright. The loss consumes only means of these maps, so nothing
+        transposes back.
+      * "nhwc": the legacy two-blur NHWC tail.
+      * None (default): "wminor" in fast mode, "nhwc" in highest.
+
+    Gradient equivalence vs the NHWC tail is tested
+    (tests/test_loss_tail.py). Only consulted by the monolithic training
+    forward in fast mode; the spatial banded path always uses the NHWC
+    region-masked tail. Read at trace time."""
+    global _LOSS_TAIL
+    if layout not in (None, "wminor", "nhwc"):
+        raise ValueError(f"unknown loss tail layout {layout!r}")
+    _LOSS_TAIL = layout
+
+
+def get_loss_tail() -> str:
+    if _LOSS_TAIL is None:
+        return "wminor" if _MODE == "fast" else "nhwc"
+    return _LOSS_TAIL
 
 
 def conv_precision() -> lax.Precision:

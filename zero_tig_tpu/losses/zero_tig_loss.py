@@ -24,7 +24,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.filters import calculate_local_variance, local_mean, pair_downsampler
+from ..ops.filters import (
+    calculate_local_variance,
+    local_mean,
+    local_variance_wminor,
+    pair_downsampler,
+)
 from ..models.network import TrainOutputs
 
 EPS = 1e-9
@@ -272,8 +277,19 @@ def zero_tig_loss(
     H3_denoised1, H3_denoised2 = pair_downsampler(o.H3)
     loss += mse(o.H3_pred[..., 0:3], H3_denoised1) * 1000.0
     loss += mse(o.H4_pred[..., 0:3], H3_denoised2) * 1000.0
-    # Color
-    loss += mse(sg(o.H2_blur), o.H3_blur) * 10000.0
+    # Color (loss.py:64). Fast loss tail (core.precision.set_loss_tail):
+    # blur is linear and blur(H1) is detached, so MSE(blur(H1).detach(),
+    # blur(H3)) == mean(blur(sg(H1) - H3)^2) with the identical gradient;
+    # the forward supplies that single W-minor blur as color_blur_diff.
+    if o.color_blur_diff is not None:
+        if region is not None:
+            raise ValueError(
+                "the wminor loss tail has no region masking; pass "
+                "loss_tail='nhwc' to forward_train_core in banded mode"
+            )
+        loss += jnp.mean(jnp.square(o.color_blur_diff)) * 10000.0
+    else:
+        loss += mse(sg(o.H2_blur), o.H3_blur) * 10000.0
     # Ill
     loss += mse(sg(o.s2), o.s3) * 1000.0
     # Inter (texture-gated local mean); weighted_diff2 reuses H3_denoised1
@@ -285,8 +301,18 @@ def zero_tig_loss(
     weighted_diff2 = (1.0 - d) * lm2 + H3_denoised1 * d
     loss += mse(H3_denoised1, weighted_diff1) * 10000.0
     loss += mse(H3_denoised2, weighted_diff2) * 10000.0
-    # Var
-    noise_var = calculate_local_variance(o.H3 - o.H2)
-    h2_var = calculate_local_variance(o.H2)
-    loss += mse(h2_var, noise_var) * 1000.0
+    # Var (loss.py:75-77)
+    if o.color_blur_diff is not None:
+        # W-minor tail: both variance maps from ONE (B, 6, H, W) stacked
+        # pass; only their mean squared difference is consumed, which is
+        # layout-invariant, so nothing transposes back
+        st = jnp.transpose(
+            jnp.concatenate([o.H2, o.H3 - o.H2], axis=-1), (0, 3, 1, 2)
+        )
+        v = local_variance_wminor(st)
+        loss += jnp.mean(jnp.square(v[:, :3] - v[:, 3:])) * 1000.0
+    else:
+        noise_var = calculate_local_variance(o.H3 - o.H2)
+        h2_var = calculate_local_variance(o.H2)
+        loss += mse(h2_var, noise_var) * 1000.0
     return loss

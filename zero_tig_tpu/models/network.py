@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.equalize import equalize01
-from ..ops.filters import blur, pair_downsampler, texture_difference
+from ..ops.filters import (
+    blur,
+    blur_wminor,
+    pair_downsampler,
+    texture_difference,
+)
 from ..ops.resize import resize_bilinear
 from ..ops.warp import warp_tensor
 from .denoise import Denoise1, Denoise2
@@ -44,7 +49,14 @@ DENOISE_2 = Denoise2(chan_embed=48)
 
 
 class TrainOutputs(NamedTuple):
-    """The reference's 23-tuple forward output (model/model.py:203)."""
+    """The reference's 23-tuple forward output (model/model.py:203).
+
+    color_blur_diff (optional, fast loss tail only): blur(sg(H1) - H3) in
+    W-minor (B, 3, H, W) layout. Blur is linear and the reference detaches
+    blur(H1) (loss.py:64), so MSE(blur(H1).detach(), blur(H3)) ==
+    mean(color_blur_diff^2) with the IDENTICAL gradient -- one full-res
+    21x21 blur instead of two. When set, H2_blur/H3_blur are None and the
+    loss consumes only this field (core.precision.set_loss_tail)."""
 
     L_pred1: jax.Array
     L_pred2: jax.Array
@@ -65,10 +77,11 @@ class TrainOutputs(NamedTuple):
     H4_pred: jax.Array
     L_pred1_L_pred2_diff: jax.Array
     H3_denoised1_H3_denoised2_diff: jax.Array
-    H2_blur: jax.Array
-    H3_blur: jax.Array
+    H2_blur: jax.Array | None
+    H3_blur: jax.Array | None
     H3_denoised1: jax.Array
     H3_denoised2: jax.Array
+    color_blur_diff: jax.Array | None = None
 
 
 def init_network_variables(key: jax.Array, h: int = 64, w: int = 64) -> dict:
@@ -303,6 +316,7 @@ def forward_train_core(
     *,
     bn_train: bool = True,
     bn_overrides=None,
+    loss_tail: str | None = None,
 ) -> tuple[TrainOutputs, dict, dict]:
     """Gradient-carrying part of the training forward, AFTER flow+warp.
 
@@ -395,13 +409,25 @@ def forward_train_core(
     H3_diff = texture_difference(H3_denoised1, H3_denoised2)
 
     H1 = jnp.clip(L2 / s2, 0.0, 1.0)
-    H2_blur = blur(H1)
-    H3_blur = blur(H3)
+    from ..core.precision import get_loss_tail
+
+    if (loss_tail or get_loss_tail()) == "wminor":
+        # single-blur Color tail (see TrainOutputs.color_blur_diff): blur
+        # is linear, blur(H1) is detached by the loss, so one W-minor blur
+        # of the difference is value- and gradient-identical to two blurs
+        H2_blur = H3_blur = None
+        color_blur_diff = blur_wminor(
+            jnp.transpose(sg(H1) - H3, (0, 3, 1, 2)).astype(jnp.float32)
+        )
+    else:
+        H2_blur = blur(H1)
+        H3_blur = blur(H3)
+        color_blur_diff = None
 
     outputs = TrainOutputs(
         L_pred1, L_pred2, L2, s2, s21, s22, H2, H11, H12, H13, s13, H14, s14,
         H3, s3, H3_pred, H4_pred, L_diff, H3_diff, H2_blur, H3_blur,
-        H3_denoised1, H3_denoised2,
+        H3_denoised1, H3_denoised2, color_blur_diff,
     )
     new_carry = {"last_H3": sg(H3), "last_s3": sg(s3)}
     return outputs, new_batch_stats, new_carry
@@ -558,13 +584,22 @@ def _forward_train_xpack(
     H3_diff = texture_difference(H3_denoised1, H3_denoised2)
 
     H1 = jnp.clip(L2 / s2, 0.0, 1.0)
-    H2_blur = blur(H1)
-    H3_blur = blur(H3)
+    from ..core.precision import get_loss_tail
+
+    if get_loss_tail() == "wminor":
+        H2_blur = H3_blur = None
+        color_blur_diff = blur_wminor(
+            jnp.transpose(sg(H1) - H3, (0, 3, 1, 2))
+        )
+    else:
+        H2_blur = blur(H1)
+        H3_blur = blur(H3)
+        color_blur_diff = None
 
     outputs = TrainOutputs(
         L_pred1, L_pred2, L2, s2, s21, s22, H2, H11, H12, H13, s13, H14, s14,
         H3, s3, H3_pred, H4_pred, L_diff, H3_diff, H2_blur, H3_blur,
-        H3_denoised1, H3_denoised2,
+        H3_denoised1, H3_denoised2, color_blur_diff,
     )
     new_carry = {"last_H3": sg(H3), "last_s3": sg(s3)}
     return outputs, new_batch_stats, new_carry

@@ -73,13 +73,8 @@ _BLUR_KERNEL_21 = gauss_kernel(21, 1.0)  # numpy: no device ops at import
 _s1d = None
 
 
-def blur(x: jax.Array) -> jax.Array:
-    """21x21 Gaussian depthwise blur, reflect padding.
-
-    Parity: utils/utils.py:52-58 (kernel_size=21, nsig=1, reflect pad 10).
-    Evaluated as two separable 21-tap depthwise passes (the erf kernel is
-    sqrt(outer(k1d, k1d))/S == outer(sqrt(k1d), sqrt(k1d))/S exactly).
-    """
+def _sqrt_taps() -> np.ndarray:
+    """The separable 21-tap factor of the erf blur kernel (host constant)."""
     global _s1d
     if _s1d is None:
         k2d = np.asarray(_BLUR_KERNEL_21, np.float64)
@@ -88,6 +83,17 @@ def blur(x: jax.Array) -> jax.Array:
         s = row / np.sqrt(row[10])
         assert np.allclose(np.outer(s, s), k2d, atol=1e-12)
         _s1d = s.astype(np.float32)
+    return _s1d
+
+
+def blur(x: jax.Array) -> jax.Array:
+    """21x21 Gaussian depthwise blur, reflect padding.
+
+    Parity: utils/utils.py:52-58 (kernel_size=21, nsig=1, reflect pad 10).
+    Evaluated as two separable 21-tap depthwise passes (the erf kernel is
+    sqrt(outer(k1d, k1d))/S == outer(sqrt(k1d), sqrt(k1d))/S exactly).
+    """
+    _sqrt_taps()
     xp = jnp.pad(x, ((0, 0), (10, 10), (10, 10), (0, 0)), mode="reflect")
     s = jnp.asarray(_s1d, x.dtype)
     out = depthwise_conv2d(xp, s[:, None], padding=0)
@@ -158,6 +164,66 @@ def calculate_local_variance(x: jax.Array) -> jax.Array:
     d2 = (x - avg) ** 2
     d2p = jnp.pad(d2, ((0, 0), (2, 2), (2, 2), (0, 0)))
     return _box_sum(d2p, 5) / 25.0
+
+
+# ---------------------------------------------------------------------------
+# W-minor (B, C, H, W) twins of the 3-channel loss-tail filters.
+#
+# At 1080p a 3-channel NHWC tensor pads its minor dim 3 -> 128 lanes, so
+# every windowed op pays ~42x its logical bytes; in W-minor layout the minor
+# dim is W=1920 (lane-dense) and the separable taps become shifted adds.
+# Measured one v5e (round-4 scout, tools/snippets_filters_layout.py):
+# blur 8.77 ms (NHWC depthwise conv) -> 2.72 ms (W-minor shifted adds);
+# NHWC->NCHW transpose ~1.3 ms each way. The loss consumes only MEANS of
+# these maps (layout-invariant), so W-minor outputs never transpose back.
+# Used by the fast-mode training loss tail (losses/zero_tig_loss.py,
+# core.precision.set_loss_tail).
+# ---------------------------------------------------------------------------
+
+
+def _slide_h(x: jax.Array, taps) -> jax.Array:
+    """Sliding weighted sum along axis -2 (valid): sum_k taps[k]*x[i+k]."""
+    k = len(taps)
+    h = x.shape[-2] - (k - 1)
+    acc = None
+    for i in range(k):
+        t = taps[i] * x[..., i : i + h, :]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _slide_w(x: jax.Array, taps) -> jax.Array:
+    """Sliding weighted sum along the minor axis -1 (valid)."""
+    k = len(taps)
+    w = x.shape[-1] - (k - 1)
+    acc = None
+    for i in range(k):
+        t = taps[i] * x[..., i : i + w]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def blur_wminor(x: jax.Array) -> jax.Array:
+    """``blur`` on a (B, C, H, W) tensor: same separable sqrt-kernel taps,
+    reflect pad 10, H pass then W pass (the NHWC twin's conv order)."""
+    taps = [float(v) for v in _sqrt_taps()]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (10, 10), (10, 10)), mode="reflect")
+    return _slide_w(_slide_h(xp, taps), taps)
+
+
+def local_variance_wminor(x: jax.Array) -> jax.Array:
+    """``calculate_local_variance`` on a (B, C, H, W) tensor.
+
+    Same semantics as the NHWC twin (utils/utils.py:66-79 parity): 5x5
+    AvgPool mean with zero padding 2 and count_include_pad, then the 5x5
+    zero-padded window mean of (x - avg)^2.
+    """
+    five = [0.2] * 5
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2)))
+    avg = _slide_w(_slide_h(xp, five), five)
+    d2 = jnp.square(x - avg)
+    d2p = jnp.pad(d2, ((0, 0), (0, 0), (2, 2), (2, 2)))
+    return _slide_w(_slide_h(d2p, five), five)
 
 
 def texture_difference(
