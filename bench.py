@@ -43,6 +43,13 @@ PRECISION = os.environ.get("BENCH_PRECISION", "fast")
 # latency (~30 ms through the axon relay) exactly like production serving;
 # every frame is fully computed. 32 measured ~1 ms/frame better than 16.
 CHUNK = int(os.environ.get("BENCH_CHUNK", "32"))
+# independent scene streams batched on ONE chip: the model is fully
+# batch-agnostic (per-scene carry + per-scene is_new_seq,
+# models/network.py:662), so B>1 amortizes the per-frame layout/glue/small-op
+# overhead that dominates at B=1 (MFU 0.49%, BENCH_r04). frames/sec/chip
+# counts ALL scenes' frames; equivalence vs sequential single-scene runs is
+# tested in tests/test_batched_predict.py.
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 
 
 def main() -> None:
@@ -66,8 +73,10 @@ def main() -> None:
 
     key = jax.random.PRNGKey(2)
     k1, k2 = jax.random.split(key)
-    frame = jax.random.uniform(k1, (1, HEIGHT, WIDTH, 3), jnp.float32) * 0.2
-    noise = jax.random.uniform(k2, (1, HEIGHT, WIDTH, 3), jnp.float32)
+    frame = (
+        jax.random.uniform(k1, (BATCH, HEIGHT, WIDTH, 3), jnp.float32) * 0.2
+    )
+    noise = jax.random.uniform(k2, (BATCH, HEIGHT, WIDTH, 3), jnp.float32)
     carry = {
         "last_H3": jnp.zeros_like(frame),
         "last_s3": jnp.zeros_like(frame) + 0.5,
@@ -114,18 +123,18 @@ def main() -> None:
             # device->host readback: the only reliable full sync on the
             # experimental axon platform (block_until_ready returns early)
             float(H3s[-1, 0, 0, 0, 0])
-            times.append((time.time() - t1) / CHUNK)
+            times.append((time.time() - t1) / (CHUNK * BATCH))
         else:
             (H2, H3, s3), carry = step(carry, f, False)
             float(H3[0, 0, 0, 0])
-            times.append(time.time() - t1)
+            times.append((time.time() - t1) / BATCH)
 
     sec = statistics.median(times)
     fps = 1.0 / sec
     print(
         f"# median {sec * 1e3:.1f} ms/frame over {STEPS} steps "
         f"({HEIGHT}x{WIDTH}, of_scale={OF_SCALE}, iters={RAFT_ITERS}, "
-        f"precision={PRECISION})",
+        f"precision={PRECISION}, batch={BATCH})",
         file=sys.stderr,
     )
 
@@ -151,7 +160,7 @@ def main() -> None:
         cost = lowered.compile().cost_analysis() or {}
         flops_chunk = float(cost.get("flops", 0.0))
         if flops_chunk > 0:
-            flops_per_frame = flops_chunk / max(CHUNK, 1)
+            flops_per_frame = flops_chunk / (max(CHUNK, 1) * BATCH)
             mfu = (flops_per_frame / sec) / V5E_BF16_PEAK
             print(
                 f"# {flops_per_frame / 1e9:.1f} GFLOP/frame -> "
@@ -164,7 +173,7 @@ def main() -> None:
             # This frame is bandwidth-bound, not FLOP-bound (47.8 GFLOP
             # would take 0.24 ms at MXU peak): the meaningful roofline is
             # the HBM one -- bytes the cost model books against ~819 GB/s.
-            bytes_per_frame = bytes_chunk / max(CHUNK, 1)
+            bytes_per_frame = bytes_chunk / (max(CHUNK, 1) * BATCH)
             hbm_roofline_ms = bytes_per_frame / V5E_HBM_BPS * 1e3
             print(
                 f"# {bytes_per_frame / 1e9:.2f} GB/frame accessed -> HBM "
@@ -183,6 +192,7 @@ def main() -> None:
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REF_BASELINE_FPS, 3),
                 "ms_per_frame": round(sec * 1e3, 2),
+                "batch_scenes": BATCH,
                 "mfu_vs_v5e_bf16_peak": (
                     round(mfu, 4) if mfu is not None else None
                 ),
