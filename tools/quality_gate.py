@@ -37,6 +37,25 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument(
+        "--width", type=int, default=0,
+        help="eval frame width (default: --size; use 1920 for the "
+        "headline-scale gate)",
+    )
+    ap.add_argument(
+        "--height", type=int, default=0,
+        help="eval frame height (default: --size)",
+    )
+    ap.add_argument(
+        "--train_width", type=int, default=0,
+        help="train on a SEPARATE lower-res fixture of this width "
+        "(default: train at the eval resolution). The conv nets are "
+        "resolution-agnostic and every fast-mode approximation under "
+        "test (bf16, xpack, block-gather warp) is inference-time, so "
+        "train-small/eval-big certifies them at scales where the "
+        "monolithic f32 training graph cannot compile (1080p).",
+    )
+    ap.add_argument("--train_height", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--of_scale", type=int, default=2)
@@ -63,16 +82,29 @@ def main(argv=None):
         train_step,
     )
 
+    ew = args.width or args.size
+    eh = args.height or args.size
+    tw = args.train_width or ew
+    th = args.train_height or eh
+
     root = tempfile.mkdtemp(prefix="qgate_rlv_")
     make_rlv_fixture(
-        root, frames_per_scene=args.frames, size=(args.size, args.size),
+        root, frames_per_scene=args.frames, size=(ew, eh),
         occluder=args.occluder,
     )
+    if (tw, th) != (ew, eh):
+        train_root = tempfile.mkdtemp(prefix="qgate_rlv_train_")
+        make_rlv_fixture(
+            train_root, frames_per_scene=args.frames, size=(tw, th),
+            occluder=args.occluder,
+        )
+    else:
+        train_root = root
     cfg = Config(
         lowlight_images_path=root,
         dataset="RLV",
-        frame_width=args.size,
-        frame_height=args.size,
+        frame_width=ew,
+        frame_height=eh,
         of_scale=args.of_scale,
         raft_iters=args.raft_iters,
     )
@@ -81,11 +113,12 @@ def main(argv=None):
     precision.set_precision("highest")
     net_vars = init_network_variables(jax.random.PRNGKey(cfg.seed))
     raft_vars = init_raft_variables(jax.random.PRNGKey(cfg.seed + 1))
-    shape = (1, args.size, args.size, 3)
-    state = init_train_state(cfg, net_vars, shape)
+    shape = (1, eh, ew, 3)
+    train_shape = (1, th, tw, 3)
+    state = init_train_state(cfg, net_vars, train_shape)
 
-    train_ds = create_dataset(cfg.dataset, root, "train",
-                              size=(args.size, args.size))
+    train_ds = create_dataset(cfg.dataset, train_root, "train",
+                              size=(tw, th))
     sk = dict(of_scale=cfg.of_scale, raft_iters=cfg.raft_iters)
     for epoch in range(args.epochs):
         losses = []
@@ -102,7 +135,7 @@ def main(argv=None):
 
     # ---- eval the trained weights under both modes
     test_ds = create_dataset(cfg.dataset, root, "test",
-                             size=(args.size, args.size))
+                             size=(ew, eh))
     records = list(test_ds)
 
     def run_mode(mode):
@@ -165,6 +198,8 @@ def main(argv=None):
 
     res = {
         "occluder": bool(args.occluder),
+        "eval_size": f"{ew}x{eh}",
+        "train_size": f"{tw}x{th}",
         "fast_enh_scale": int(args.fast_enh_scale),
         "trained_mode_vs_mode_psnr_db": round(float(np.mean(mode_psnrs)), 2),
         "worst_block32_psnr_db": round(float(np.min(worst_blocks)), 2),
