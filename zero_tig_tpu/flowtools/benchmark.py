@@ -104,6 +104,87 @@ def benchmark_all(csv_path: str | None = None, **kw) -> list[dict]:
     return rows
 
 
+def plot_benchmark(
+    rows: list[dict],
+    out_path: str,
+    *,
+    accuracy: dict[str, float] | None = None,
+    html_path: str | None = None,
+) -> str:
+    """Speed-vs-accuracy scatter from benchmark rows.
+
+    Parity: the reference's plotly speed/accuracy HTML
+    (ptlflow_scripts/model_benchmark.py:459-530). plotly is not in this
+    image, so the artifact is a matplotlib PNG plus (optionally) a
+    self-contained HTML page embedding it.
+
+    accuracy: {model: EPE} from flowtools.validate runs; when absent the
+    y axis falls back to parameter count (the other model-selection axis
+    the reference plots). Identity is direct-labeled per point (single
+    series, one hue -- no legend needed).
+    """
+    import base64
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = [r["time_ms_median"] for r in rows]
+    if accuracy:
+        ys = [accuracy.get(r["model"], float("nan")) for r in rows]
+        ylabel = "EPE (px)"
+    else:
+        ys = [r["params"] / 1e6 for r in rows]
+        ylabel = "parameters (M)"
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.2), facecolor="#fcfcfb")
+    ax.set_facecolor("#fcfcfb")
+    ax.scatter(xs, ys, s=60, color="#2a78d6", zorder=3)
+    for r, x, y in zip(rows, xs, ys):
+        ax.annotate(
+            r["model"], (x, y), xytext=(6, 5), textcoords="offset points",
+            fontsize=9, color="#52514e",
+        )
+    ax.set_xscale("log")
+    ax.set_xlabel("inference time, median ms (log)", color="#0b0b0b")
+    ax.set_ylabel(ylabel, color="#0b0b0b")
+    ax.set_title(
+        f"flow models @ {rows[0]['input_h']}x{rows[0]['input_w']}",
+        color="#0b0b0b", fontsize=11,
+    )
+    ax.grid(True, color="#e6e5e1", linewidth=0.6, zorder=0)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color("#c3c2b7")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=144)
+    plt.close(fig)
+
+    if html_path:
+        with open(out_path, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+        table = "".join(
+            "<tr>" + "".join(
+                f"<td>{r.get(k, '')}</td>" for k in sorted(rows[0])
+            ) + "</tr>"
+            for r in rows
+        )
+        head = "".join(f"<th>{k}</th>" for k in sorted(rows[0]))
+        with open(html_path, "w") as f:
+            f.write(
+                "<!doctype html><title>flow model benchmark</title>"
+                "<body style='font-family:sans-serif;background:#fcfcfb'>"
+                f"<img alt='speed vs accuracy scatter' "
+                f"src='data:image/png;base64,{b64}'>"
+                f"<table border=1 cellpadding=4 style='border-collapse:"
+                f"collapse;color:#0b0b0b'><tr>{head}</tr>{table}</table>"
+                "</body>"
+            )
+    return out_path
+
+
 def main(argv=None):
     import argparse
 
@@ -113,6 +194,10 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1000)
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--output_csv", type=str, default="flow_benchmark.csv")
+    p.add_argument(
+        "--plot", type=str, default="",
+        help="write a speed-vs-params scatter PNG here (plus .html twin)",
+    )
     args = p.parse_args(argv)
     names = args.models or available_models()
     rows = []
@@ -127,6 +212,12 @@ def main(argv=None):
         writer = csv.DictWriter(f, fieldnames=sorted(rows[0]))
         writer.writeheader()
         writer.writerows(rows)
+    if args.plot:
+        html = (
+            args.plot.rsplit(".", 1)[0] + ".html"
+            if args.plot.endswith(".png") else args.plot + ".html"
+        )
+        plot_benchmark(rows, args.plot, html_path=html)
 
 
 if __name__ == "__main__":

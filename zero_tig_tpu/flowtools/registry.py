@@ -47,6 +47,7 @@ def available_models() -> list[str]:
 
 
 def _register_builtin() -> None:
+    from ..models.classical_flow import init_lk_variables, lk_forward
     from ..models.pwc import init_pwc_variables, pwc_forward
     from ..models.raft.raft import init_raft_variables, raft_forward
     from ..models.raft.small import init_raft_small_variables, raft_small_forward
@@ -73,6 +74,15 @@ def _register_builtin() -> None:
             predictions_fn=lambda v, a, b, iters: raft_small_forward(
                 v, a, b, iters=iters, return_predictions=True
             )[1],
+        )
+    )
+    register_flow_model(
+        FlowModel(
+            name="lk_pyramid",
+            init_fn=init_lk_variables,
+            forward_fn=lambda v, a, b, iters: lk_forward(v, a, b, iters=iters),
+            default_iters=3,
+            predictions_fn=None,  # classical: nothing to train
         )
     )
     register_flow_model(
