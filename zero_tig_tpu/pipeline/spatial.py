@@ -183,7 +183,6 @@ def _own_mask(slice_h: int, slice_start, own_start, own_end, dtype):
     return mask[None, :, None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("slice_h",))
 def _bn_fwd0_band(
     enh_params, enh_in, slice_start, own_start, own_end, *, slice_h: int
 ):
@@ -210,7 +209,6 @@ def _bn_fwd0_band(
     return fea, pre, jnp.sum(pre.astype(jnp.float32) * m, axis=(0, 1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("slice_h",))
 def _bn_fwdk_band(
     enh_params, fea, pre, mean, var,
     slice_start, own_start, own_end, *, slice_h: int,
@@ -235,7 +233,6 @@ def _bn_fwdk_band(
     return fea, pre2, jnp.sum(pre2.astype(jnp.float32) * m, axis=(0, 1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("slice_h",))
 def _bn_s2_band(
     pre, mean, slice_start, own_start, own_end, *, slice_h: int
 ):
@@ -247,43 +244,71 @@ def _bn_s2_band(
     )
 
 
-def _stage_sums(enh_vars, enh_in_sl, stats, mean_k, row_mask, stage: int):
-    """Owned-row partial sums of stage `stage`'s pre-BN activations:
-    (sum x, sum (x - mean_k)^2), each (64,)."""
-    from ..models.network import ENHANCER
+def _bn_sweep_bnpath(enh_params, pre, mean, var, cot_fea_next):
+    """Pass-C phase 1 at one stage for one band: cotangents of the
+    BN+residual path fea_{k+1} = fea_k + relu(BN(pre_k; mean_k, var_k)).
 
-    x_k = ENHANCER.apply(
-        enh_vars, enh_in_sl, use_running_average=True,
-        bn_overrides=stats[:stage], return_pre_bn=stage,
-    )
-    m = row_mask[None, :, None, None]
-    s1 = jnp.sum(x_k * m, axis=(0, 1, 2))
-    s2 = jnp.sum(jnp.square(x_k - mean_k) * m, axis=(0, 1, 2))
-    return s1, s2
+    Elementwise only -- no convolution. Returns (d_mean, d_var, d_scale,
+    d_bias, cot_pre_bn): the first two are this band's increments to the
+    global dL/dstats_k (summed across bands BEFORE phase 2, because
+    stats_k are full-frame reductions), the rest feed phase 2."""
+    scale = enh_params["block"]["bn"]["scale"]
+    bias = enh_params["block"]["bn"]["bias"]
+
+    def f(mean, var, scale, bias, pre):
+        inv = jax.lax.rsqrt(var + _BN_EPS) * scale
+        return jax.nn.relu(((pre - mean) * inv + bias).astype(pre.dtype))
+
+    _, vjp = jax.vjp(f, mean, var, scale, bias, pre)
+    return vjp(cot_fea_next)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("slice_h", "full_h", "stage")
-)
-def _bn_chain_band(
-    enh_params, enh_bstats, enh_in, stats, mean_k, cot_s1, cot_s2,
-    slice_start, own_start, own_end,
-    *, slice_h: int, full_h: int, stage: int,
+def _bn_sweep_convpath(
+    enh_params, fea, pre, mean, cot_pre_bn, cot_fea_next, cot_s1, cot_s2,
+    slice_start, own_start, own_end, *, slice_h: int,
 ):
-    """vjp of this band's stats contribution: returns (d enh_params,
-    d stats) under cotangents (cot_s1, cot_s2) on the partial sums."""
-    sl = jax.lax.dynamic_slice_in_dim(enh_in, slice_start, slice_h, 1)
-    rows = jax.lax.iota(jnp.int32, slice_h) + slice_start
-    mask = ((rows >= own_start) & (rows < own_end)).astype(enh_in.dtype)
+    """Pass-C phase 2 at one stage for one band: ONE conv backward under
+    the TOTAL pre_k cotangent -- the BN-path part (phase 1) plus the
+    owned-row sum cotangents cot_s1 (on sum pre_k) and cot_s2 (on the
+    centered sum (pre_k - mean_k)^2; mean_k constant there, its dropped
+    global term is analytically zero -- see the two-pass BN block
+    comment). Returns (d_conv_params, cot_fea_k) where cot_fea_k already
+    includes the residual identity path."""
+    from ..models.layers import Conv
 
-    def T(p, st):
-        return _stage_sums(
-            {"params": p, "batch_stats": enh_bstats}, sl, st, mean_k,
-            mask, stage,
+    C = enh_params["block"]["bn"]["scale"].shape[0]
+    m = _own_mask(slice_h, slice_start, own_start, own_end, jnp.float32)
+    cot_pre = (
+        cot_pre_bn.astype(jnp.float32)
+        + m * (cot_s1 + 2.0 * (pre.astype(jnp.float32) - mean) * cot_s2)
+    ).astype(pre.dtype)
+
+    def g(conv_params, fea):
+        return Conv(C, (3, 3), padding=1).apply({"params": conv_params}, fea)
+
+    _, vjp = jax.vjp(g, enh_params["block"]["conv"], fea)
+    d_conv, d_fea = vjp(cot_pre)
+    return d_conv, d_fea + cot_fea_next
+
+
+def _bn_sweep_inconv(
+    enh_params, enh_in, cot_fea0, slice_start, *, slice_h: int
+):
+    """Pass-C final step for one band: vjp of fea_0 = relu(in_conv(slice))
+    under the accumulated fea_0 cotangent -> d in_conv params."""
+    from ..models.layers import Conv
+
+    C = enh_params["block"]["bn"]["scale"].shape[0]
+    sl = jax.lax.dynamic_slice_in_dim(enh_in, slice_start, slice_h, 1)
+
+    def f0(in_conv_params):
+        return jax.nn.relu(
+            Conv(C, (3, 3), padding=1).apply({"params": in_conv_params}, sl)
         )
 
-    _, vjp = jax.vjp(T, enh_params, stats)
-    return vjp((cot_s1, cot_s2))
+    _, vjp = jax.vjp(f0, enh_params["in_conv"])
+    (d_in_conv,) = vjp(cot_fea0)
+    return d_in_conv
 
 
 @functools.partial(
@@ -326,6 +351,114 @@ def _band_grad_bn(
         jax.lax.stop_gradient(outputs.s3), own_local, band_h, 1
     )
     return loss, g_params, g_stats, H3_band, s3_band
+
+
+@functools.partial(jax.jit, static_argnames=("slice_h", "n_el"))
+def _bn_pass_a(enh_params, enh_in, geoms, *, slice_h: int, n_el: int):
+    """Pass A in ONE dispatch: all three stages' exact full-frame batch
+    moments, bands and stages unrolled in-graph.
+
+    geoms: int32 (bands, 3) of (slice_start, own_start, own_end). Through
+    the axon relay every dispatch costs ~25-40 ms regardless of payload
+    (CLAUDE.md), so the round-4 formulation's 12 per-band/per-stage
+    dispatches paid more in relay latency than in compute; the arithmetic
+    here is IDENTICAL (same body helpers, same f32 accumulation and
+    centered second sweep). Returns the three (mean, biased-var) pairs."""
+    bands = geoms.shape[0]
+    feas = [None] * bands
+    pres = [None] * bands
+    stats = []
+    for k in range(3):
+        s1_tot = jnp.zeros((64,), jnp.float32)
+        for b in range(bands):
+            g = (geoms[b, 0], geoms[b, 1], geoms[b, 2])
+            if k == 0:
+                fea, pre, s1 = _bn_fwd0_band(
+                    enh_params, enh_in, *g, slice_h=slice_h
+                )
+            else:
+                fea, pre, s1 = _bn_fwdk_band(
+                    enh_params, feas[b], pres[b], *stats[k - 1], *g,
+                    slice_h=slice_h,
+                )
+            feas[b], pres[b] = fea, pre
+            s1_tot = s1_tot + s1
+        mean_k = s1_tot / n_el
+        s2_tot = jnp.zeros((64,), jnp.float32)
+        for b in range(bands):
+            g = (geoms[b, 0], geoms[b, 1], geoms[b, 2])
+            s2_tot = s2_tot + _bn_s2_band(
+                pres[b], mean_k, *g, slice_h=slice_h
+            )
+        stats.append((mean_k, s2_tot / n_el))
+    return tuple(stats)
+
+
+@functools.partial(jax.jit, static_argnames=("slice_h", "n_el"))
+def _bn_pass_c(enh_params, enh_in, stats, e_stats, geoms, *, slice_h: int,
+               n_el: int):
+    """Pass C in ONE dispatch: the descending one-sweep stats->params
+    chain over the incremental stage functions, bands/stages/phases
+    unrolled in-graph (same arithmetic as the per-dispatch form; fused
+    for the relay's per-dispatch cost). Returns the enhancer-prefix grad
+    increments {in_conv, block: {conv, bn: {scale, bias}}}."""
+    bands = geoms.shape[0]
+    # chain recompute: one enhancer prefix per band, caching (fea_k, pre_k)
+    feas = [[None] * 3 for _ in range(bands)]
+    pres = [[None] * 3 for _ in range(bands)]
+    for b in range(bands):
+        g = (geoms[b, 0], geoms[b, 1], geoms[b, 2])
+        fea, pre, _ = _bn_fwd0_band(enh_params, enh_in, *g, slice_h=slice_h)
+        feas[b][0], pres[b][0] = fea, pre
+        for k in (1, 2):
+            fea, pre, _ = _bn_fwdk_band(
+                enh_params, fea, pre, *stats[k - 1], *g, slice_h=slice_h
+            )
+            feas[b][k], pres[b][k] = fea, pre
+    cot_fea = [jnp.zeros_like(feas[b][0]) for b in range(bands)]
+    d_scale = jnp.zeros_like(enh_params["block"]["bn"]["scale"])
+    d_bias = jnp.zeros_like(enh_params["block"]["bn"]["bias"])
+    d_conv_acc = None
+    for k in (2, 1, 0):
+        mean_k, var_k = stats[k]
+        c_mean, c_var = e_stats[k]
+        cot_pre_bns = []
+        for b in range(bands):
+            dm, dv, ds, db, cot_pre_bn = _bn_sweep_bnpath(
+                enh_params, pres[b][k], mean_k, var_k, cot_fea[b]
+            )
+            c_mean = c_mean + dm
+            c_var = c_var + dv
+            d_scale = d_scale + ds
+            d_bias = d_bias + db
+            cot_pre_bns.append(cot_pre_bn)
+        cot_s1 = c_mean / n_el
+        cot_s2 = c_var / n_el
+        for b in range(bands):
+            g = (geoms[b, 0], geoms[b, 1], geoms[b, 2])
+            d_conv, cot_fea[b] = _bn_sweep_convpath(
+                enh_params, feas[b][k], pres[b][k], mean_k,
+                cot_pre_bns[b], cot_fea[b], cot_s1, cot_s2, *g,
+                slice_h=slice_h,
+            )
+            d_conv_acc = (
+                d_conv if d_conv_acc is None
+                else jax.tree_util.tree_map(jnp.add, d_conv_acc, d_conv)
+            )
+    d_in_conv = None
+    for b in range(bands):
+        d_in = _bn_sweep_inconv(
+            enh_params, enh_in, cot_fea[b], geoms[b, 0], slice_h=slice_h
+        )
+        d_in_conv = (
+            d_in if d_in_conv is None
+            else jax.tree_util.tree_map(jnp.add, d_in_conv, d_in)
+        )
+    return {
+        "in_conv": d_in_conv,
+        "block": {"conv": d_conv_acc, "bn": {"scale": d_scale,
+                                             "bias": d_bias}},
+    }
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -384,43 +517,21 @@ def spatial_loss_and_grads(
 
     new_batch_stats = state.batch_stats
     stats = None
+    geoms_arr = jnp.asarray(
+        [[int(g[0]), int(g[1]), int(g[2])] for g in geoms], jnp.int32
+    )
     if bn_train:
         # ---- pass A: full-frame batch stats per shared-BN stage,
-        # incremental (see the two-pass BN block comment): each band's
-        # (fea, pre-BN) activations thread from stage to stage, so the
-        # pass costs ONE enhancer-prefix forward per band + 3 conv-free
-        # centered reductions instead of 6 prefix re-runs.
+        # incremental (see the two-pass BN block comment) and fused into
+        # ONE dispatch (the relay charges ~25-40 ms per dispatch;
+        # round-4's per-band/per-stage form paid 12 of those here).
         enh_params = state.params["enhance"]
         enh_bstats = state.batch_stats["enhance"]
         b_sz = frame.shape[0]
         n_el = b_sz * h * frame.shape[2]
-        zero64 = jnp.zeros((64,), jnp.float32)
-        feas = [None] * len(geoms)
-        pres = [None] * len(geoms)
-        stats = []
-        for k in range(3):
-            s1_tot = zero64
-            for b_i, g in enumerate(geoms):
-                if k == 0:
-                    fea, pre, s1 = _bn_fwd0_band(
-                        enh_params, enh_in, *g, slice_h=slice_h
-                    )
-                else:
-                    fea, pre, s1 = _bn_fwdk_band(
-                        enh_params, feas[b_i], pres[b_i], *stats[k - 1],
-                        *g, slice_h=slice_h,
-                    )
-                feas[b_i], pres[b_i] = fea, pre
-                s1_tot = s1_tot + s1
-            mean_k = s1_tot / n_el
-            s2_tot = zero64
-            for b_i, g in enumerate(geoms):
-                s2_tot = s2_tot + _bn_s2_band(
-                    pres[b_i], mean_k, *g, slice_h=slice_h
-                )
-            stats.append((mean_k, s2_tot / n_el))
-        stats = tuple(stats)
-        del feas, pres  # free the cached band activations before pass B
+        stats = _bn_pass_a(
+            enh_params, enh_in, geoms_arr, slice_h=slice_h, n_el=n_el
+        )
 
         # running-stats update: torch semantics, three sequential blends
         # with the UNBIASED variance (models/layers.TorchBatchNorm)
@@ -465,25 +576,40 @@ def spatial_loss_and_grads(
         s3_parts.append(s3_b)
 
     if bn_train:
-        # ---- pass C: stats -> params chain via back-substituted adjoints
-        c = [list(p) for p in e_stats]  # total cotangents per stage
+        # ---- pass C: stats -> params chain, ONE descending sweep over the
+        # incremental stage functions in ONE dispatch (round 5; replaces
+        # per-stage PREFIX vjps costing in_conv + (k+1) convs each, across
+        # 20 relay dispatches). The fea-cotangent stream carries the
+        # cross-stage chain (stats_k is consumed only inside stage k's
+        # BN); cross-band coupling (stats are global sums) is honored by
+        # summing the cheap elementwise BN-path cotangents across bands
+        # before each stage's conv-path vjp.
         b_sz = frame.shape[0]
         n_el = b_sz * h * frame.shape[2]
-        for k in (2, 1, 0):
-            cot_s1 = c[k][0] / n_el
-            cot_s2 = c[k][1] / n_el
-            for g in geoms:
-                g_p, g_st = _bn_chain_band(
-                    state.params["enhance"], state.batch_stats["enhance"],
-                    enh_in, stats, stats[k][0], cot_s1, cot_s2, *g,
-                    slice_h=slice_h, full_h=h, stage=k,
-                )
-                grads_acc["enhance"] = jax.tree_util.tree_map(
-                    jnp.add, grads_acc["enhance"], g_p
-                )
-                for j in range(k):
-                    c[j][0] = c[j][0] + g_st[j][0]
-                    c[j][1] = c[j][1] + g_st[j][1]
+        d_enh = _bn_pass_c(
+            state.params["enhance"], enh_in, stats, e_stats, geoms_arr,
+            slice_h=slice_h, n_el=n_el,
+        )
+        eg = grads_acc["enhance"]
+        grads_acc["enhance"] = {
+            **eg,
+            "in_conv": jax.tree_util.tree_map(
+                jnp.add, eg["in_conv"], d_enh["in_conv"]
+            ),
+            "block": {
+                **eg["block"],
+                "conv": jax.tree_util.tree_map(
+                    jnp.add, eg["block"]["conv"], d_enh["block"]["conv"]
+                ),
+                "bn": {
+                    **eg["block"]["bn"],
+                    "scale": eg["block"]["bn"]["scale"]
+                    + d_enh["block"]["bn"]["scale"],
+                    "bias": eg["block"]["bn"]["bias"]
+                    + d_enh["block"]["bn"]["bias"],
+                },
+            },
+        }
 
     new_carry = {
         "last_H3": jnp.concatenate(h3_parts, axis=1),
