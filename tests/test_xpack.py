@@ -226,3 +226,68 @@ def test_xpack_odd_width_falls_back(rng):
         }, is_new_seq=jnp.asarray(True), of_scale=2, raft_iters=2,
     )
     assert H3.shape == frame.shape and np.isfinite(np.asarray(H3)).all()
+
+
+def test_block_packed_warp_matches_nhwc(rng):
+    """grid_sample_pixel_block_packed == pack2(grid_sample_pixel_block):
+    same gather, same hat weights, packed-pair output order."""
+    from zero_tig_tpu.ops.sampling import (
+        grid_sample_pixel_block,
+        grid_sample_pixel_block_packed,
+    )
+    from zero_tig_tpu.ops.xpack import pack2
+
+    img = jnp.asarray(rng.random((1, 16, 24, 6)).astype(np.float32))
+    # smooth sub-pixel warp field (block path's exactness envelope)
+    gy, gx = jnp.meshgrid(jnp.arange(16.0), jnp.arange(24.0), indexing="ij")
+    x = (gx + 0.3 + 0.01 * gy)[None]
+    y = (gy - 0.7 + 0.02 * gx)[None]
+    a = pack2(grid_sample_pixel_block(img, x, y))
+    b = grid_sample_pixel_block_packed(img, x, y)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_warp_packed_inference_matches_default(rng):
+    """precision.set_warp_packed(True): identical fast xpack outputs
+    (packed warp emit + cat_packed glue vs NHWC seam), recurrence and the
+    new-sequence quirk included."""
+    from zero_tig_tpu.models import (
+        forward_inference,
+        init_network_variables,
+        init_raft_variables,
+    )
+
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    frames = [
+        jnp.asarray(rng.random((1, 48, 64, 3)).astype(np.float32) * 0.2)
+        for _ in range(2)
+    ]
+
+    outs = {}
+    precision.set_precision("fast")
+    precision.set_xpack(("d1", "enh", "d2"))
+    try:
+        for wp in (False, True):
+            precision.set_warp_packed(wp)
+            jax.clear_caches()
+            carry = {
+                "last_H3": jnp.zeros_like(frames[0]),
+                "last_s3": jnp.zeros_like(frames[0]),
+            }
+            seq = []
+            for i, f in enumerate(frames):
+                (H2, H3, s3), carry = forward_inference(
+                    net_vars, raft_vars, f, carry, jnp.asarray(i == 0),
+                    of_scale=2, raft_iters=2,
+                )
+                seq.append((np.asarray(H2), np.asarray(H3), np.asarray(s3)))
+            outs[wp] = seq
+    finally:
+        precision.set_warp_packed(None)
+        precision.set_xpack(None)
+
+    for (a2, a3, as3), (b2, b3, bs3) in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a2, b2, atol=2e-3)
+        np.testing.assert_allclose(a3, b3, atol=2e-3)
+        np.testing.assert_allclose(as3, bs3, atol=2e-3)

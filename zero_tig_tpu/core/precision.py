@@ -185,6 +185,37 @@ def get_xpack_train() -> bool:
     return _XPACK_TRAIN
 
 
+_WARP_PACKED: bool | None = None
+
+
+def set_warp_packed(enabled: bool | None) -> None:
+    """Emit the fast inference warp in packed-pair layout (B, H, W/2, 2C)
+    straight from the block gather (ops/sampling.
+    grid_sample_pixel_block_packed): the block operand repeats along H
+    only (half the broadcast traffic) and the warped tensor feeds the
+    packed enhancer/denoise_2 stacks through cat_packed lane shuffles with
+    no NHWC round trip (VERDICT r4 item 7). Requires xpack {enh, d2} and
+    even H/W; silently inactive otherwise. Default (None) = OFF: measured
+    e2e REGRESSION on one v5e -- 56.19 vs 49.36/49.34 ms/frame (1080p
+    chunk-32, control runs sandwiching the variant in the same session).
+    Post-mortem: the pair-shaped hat-weight contraction
+    (b,h,wb,2,16)x(b,h,wb,16,c) lowers to batched tiny dots (the same
+    lowering that cost the round-3 blockwise einsum ~10 ms), while the
+    NHWC twin's (b,h,w,16) elementwise-multiply-reduce fuses, and XLA
+    already folds the NHWC->pack2 seam into the consumer for free -- the
+    halved block-operand broadcast never reaches the critical path. Kept
+    opt-in (output-equivalence tested, tests/test_xpack.py) for
+    re-testing on future compilers. Read at trace time."""
+    global _WARP_PACKED
+    _WARP_PACKED = None if enabled is None else bool(enabled)
+
+
+def get_warp_packed() -> bool:
+    if _WARP_PACKED is None:
+        return False
+    return _WARP_PACKED
+
+
 _LOSS_TAIL: str | None = None
 
 

@@ -144,12 +144,17 @@ def update_cache(
     *,
     of_scale: int = 3,
     raft_iters: int = 12,
-) -> tuple[jax.Array, jax.Array]:
+    emit: str = "nhwc",
+) -> tuple[jax.Array, jax.Array] | jax.Array:
     """Flow from previous output to current frame, then backward warp.
 
     Parity: model/model.py:221-259. Runs entirely under stop_gradient
     (reference: torch.no_grad() around RAFT; warped tensors feed detached
     paths only).
+
+    emit="packed" (fast mode, even H/W) returns ONE packed-pair tensor
+    (B, H, W/2, 12) -- pack2 order [p0(H3, s3) | p1(H3, s3)] -- straight
+    from the block gather, for packed-glue consumers (no NHWC round trip).
     """
     ht_org, wd_org = last_H3.shape[-3], last_H3.shape[-2]
     ht, wd = ht_org // of_scale, wd_org // of_scale
@@ -163,6 +168,12 @@ def update_cache(
     # both tensors share the flow grid: one fused 6-channel warp halves the
     # gather traffic vs the reference's two warp_tensor calls
     # (model/model.py:249-250); results identical per channel
+    if emit == "packed":
+        warped, _ = warp_tensor(
+            flow_up, jnp.concatenate([last_H3, last_s3], axis=-1),
+            emit="packed",
+        )
+        return jax.lax.stop_gradient(warped)
     warped, _ = warp_tensor(
         flow_up, jnp.concatenate([last_H3, last_s3], axis=-1)
     )
@@ -815,6 +826,43 @@ def _forward_inference_xpack(
         d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
         L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
 
+    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
+    from ..core.precision import get_warp_packed
+    from ..ops.xpack import cat_packed
+
+    warp_packed = (
+        get_warp_packed()
+        and {"enh", "d2"} <= set(parts)
+        and frame.shape[1] % 2 == 0
+    )
+    if warp_packed:
+        # packed-glue variant (precision.set_warp_packed): the warp emits
+        # pack2 layout directly and the enhancer/d2 inputs assemble via
+        # cat_packed lane shuffles -- no NHWC round trip at the seam
+        w12_p = update_cache(
+            raft_vars,
+            carry["last_H3"].astype(jnp.bfloat16),
+            carry["last_s3"].astype(jnp.bfloat16),
+            L2,
+            of_scale=of_scale,
+            raft_iters=raft_iters,
+            emit="packed",
+        ).astype(jnp.bfloat16)
+        w12_p = jnp.where(new_flag, jnp.zeros_like(w12_p), w12_p)
+        s2 = unpack2(enhancer_xp(pre, cat_packed([w12_p, pack2(L2)])))
+        H2 = jnp.clip(inp / s2, EPS, 1.0)
+        # new-sequence quirk (model/model.py:330-332): warped prev := H2
+        H2_p = pack2(H2)
+        w12_p = jnp.where(new_flag, cat_packed([H2_p, H2_p]), w12_p)
+        resid = unpack2(
+            denoise2_xp(pre, cat_packed([w12_p, H2_p, pack2(s2)]))
+        )
+        H5 = jnp.clip(jnp.concatenate([H2, s2], -1) - resid, EPS, 1.0)
+        H2 = H2.astype(jnp.float32)
+        H3 = H5[..., :3].astype(jnp.float32)
+        s3 = H5[..., 3:].astype(jnp.float32)
+        return (H2, H3, s3), {"last_H3": H3, "last_s3": s3}
+
     warped_H3, warped_s3 = update_cache(
         raft_vars,
         carry["last_H3"].astype(jnp.bfloat16),
@@ -823,7 +871,6 @@ def _forward_inference_xpack(
         of_scale=of_scale,
         raft_iters=raft_iters,
     )
-    new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
     w6 = jnp.concatenate([warped_H3, warped_s3], -1).astype(jnp.bfloat16)
     w6 = jnp.where(new_flag, jnp.zeros_like(w6), w6)
 

@@ -230,6 +230,63 @@ def grid_sample_pixel_block(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     )
 
 
+def grid_sample_pixel_block_packed(
+    img: jax.Array, x: jax.Array, y: jax.Array
+) -> jax.Array:
+    """``grid_sample_pixel_block`` emitting the packed-pair layout directly.
+
+    Identical block gather and hat-weight math, but the output is
+    (B, H, W/2, 2C) -- ops.xpack.pack2 order: [pixel0 channels | pixel1
+    channels] per W-pair -- computed per pair so the gathered block operand
+    repeats along H ONLY (a 2x2 block holds exactly two W-pairs that share
+    its 4x4 source patch). Halves the block-operand broadcast traffic
+    (~265 MB instead of ~530 MB bf16 at 1080p/128 lanes) and removes the
+    NHWC round trip at the packed consumers' seam (VERDICT r4 item 7).
+    Same exactness envelope as the NHWC twin (clamping at >1 px/px flow
+    discontinuities); values bitwise-equal to pack2(block NHWC output).
+    """
+    b, h, w, c = img.shape
+    patches = _patchify(img)
+    hb, wb = h // 2, w // 2
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    ymin = jnp.clip(
+        jnp.floor(jnp.min(y.reshape(b, hb, 2, wb, 2), axis=(2, 4))),
+        -1.0, h - 1.0,
+    )
+    xmin = jnp.clip(
+        jnp.floor(jnp.min(x.reshape(b, hb, 2, wb, 2), axis=(2, 4))),
+        -1.0, w - 1.0,
+    )
+    idx = (
+        (ymin.astype(jnp.int32) + 1) * (w + 2) + xmin.astype(jnp.int32) + 1
+    ).reshape(b, -1)
+    G = jnp.take_along_axis(
+        patches.reshape(b, (h + 2) * (w + 2), 128), idx[..., None], axis=1
+    ).reshape(b, hb, wb, 128)
+
+    G2h = jnp.repeat(G, 2, axis=1)  # (b, h, wb, 128): H-only repeat
+    ymin_r = jnp.repeat(ymin, 2, axis=1)  # (b, h, wb)
+    xmin_r = jnp.repeat(xmin, 2, axis=1)
+    # per-pixel coords viewed as W-pairs: (b, h, wb, 2)
+    xp = x.reshape(b, h, wb, 2)
+    yp = y.reshape(b, h, wb, 2)
+    ty = jnp.clip(yp - ymin_r[..., None], 0.0, 3.0)
+    tx = jnp.clip(xp - xmin_r[..., None], 0.0, 3.0)
+    r4 = jnp.arange(4, dtype=jnp.float32)
+    hy = jnp.clip(1.0 - jnp.abs(ty[..., None] - r4), 0.0, 1.0)  # (b,h,wb,2,4)
+    hx = jnp.clip(1.0 - jnp.abs(tx[..., None] - r4), 0.0, 1.0)
+    wgt = (hy[..., :, None] * hx[..., None, :]).reshape(b, h, wb, 2, 16)
+    wdt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    out = jnp.einsum(
+        "bhpjk,bhpkc->bhpjc",
+        wgt.astype(wdt),
+        G2h.reshape(b, h, wb, 16, 8)[..., :c].astype(wdt),
+        preferred_element_type=jnp.float32,
+    )  # (b, h, wb, 2, c)
+    return out.reshape(b, h, wb, 2 * c)
+
+
 def grid_sample(
     img: jax.Array,
     grid: jax.Array,

@@ -18,7 +18,11 @@ from .sampling import grid_sample
 
 
 def warp_tensor(
-    flow: jax.Array, img1: jax.Array, img2: jax.Array | None = None
+    flow: jax.Array,
+    img1: jax.Array,
+    img2: jax.Array | None = None,
+    *,
+    emit: str = "nhwc",
 ) -> tuple[jax.Array, jax.Array | None]:
     """Backward-warp `img1` to the current frame using flow at flow-res.
 
@@ -27,6 +31,11 @@ def warp_tensor(
     img1: (B, H, W, C) previous output to warp (full resolution).
     img2: (B, H, W, C) current frame, only used for the 0.5/0.5 overlap;
       pass None to skip the overlap (returned as None).
+    emit: "nhwc" (default) or "packed" -- the latter returns the warped
+      tensor in the packed-pair layout (B, H, W/2, 2C) straight from the
+      fast block gather (no NHWC round trip, H-only block-operand repeat;
+      ops/sampling.grid_sample_pixel_block_packed). Only valid in fast
+      mode on the block path (even H/W, C <= 8) with img2 None.
 
     Returns (warped, overlap).
     """
@@ -62,11 +71,26 @@ def warp_tensor(
         #      at >1 px/px flow discontinuities (see sampling doc).
         #   2. quad path: one gather of all 4 corners per pixel
         #      (bit-identical to the 4-gather reference formulation).
-        from .sampling import grid_sample_pixel_block, grid_sample_pixel_quad
+        from .sampling import (
+            grid_sample_pixel_block,
+            grid_sample_pixel_block_packed,
+            grid_sample_pixel_quad,
+        )
 
         px = ((grid[..., 0] + 1.0) * w_dst - 1.0) * 0.5
         py = ((grid[..., 1] + 1.0) * h_dst - 1.0) * 0.5
         c = img1.shape[-1]
+        if emit == "packed":
+            if not (h_dst % 2 == 0 and w_dst % 2 == 0 and c <= 8
+                    and img2 is None):
+                raise ValueError(
+                    "emit='packed' requires the block path (even H/W, "
+                    "C <= 8) and img2=None"
+                )
+            warped = grid_sample_pixel_block_packed(img1, px, py).astype(
+                img1.dtype
+            )
+            return warped, None
         if h_dst % 2 == 0 and w_dst % 2 == 0 and c <= 8:
             warped = grid_sample_pixel_block(img1, px, py).astype(img1.dtype)
         else:
@@ -74,6 +98,8 @@ def warp_tensor(
                 img1.astype(jnp.bfloat16), px, py
             ).astype(img1.dtype)
     else:
+        if emit == "packed":
+            raise ValueError("emit='packed' is a fast-mode path")
         warped = grid_sample(img1, grid, align_corners=False)
     overlap = None if img2 is None else 0.5 * warped + 0.5 * img2
     return warped, overlap
