@@ -20,7 +20,9 @@ from zero_tig_tpu.ops.filters import (
     blur,
     blur_wminor,
     calculate_local_variance,
+    local_mean,
     local_variance_wminor,
+    pair_downsampler,
 )
 
 
@@ -131,3 +133,35 @@ def test_spatial_banded_path_keeps_nhwc_tail(rng):
         net_vars, frame, z, z, bn_train=False, loss_tail="nhwc"
     )
     assert outs2.color_blur_diff is None and outs2.H3_blur is not None
+
+
+def test_res_inter_wminor_ops_match_nhwc(rng):
+    """Op-level parity of the round-5 Res/Inter W-minor twins."""
+    from zero_tig_tpu.ops.filters import (
+        local_mean_wminor,
+        local_stddev,
+        local_stddev_wminor,
+        pair_downsampler_wminor,
+        texture_difference,
+        texture_difference_wminor,
+    )
+
+    x = rng.random((2, 24, 32, 3)).astype(np.float32)
+    xc = jnp.asarray(x.transpose(0, 3, 1, 2))
+    a1, a2 = pair_downsampler(jnp.asarray(x))
+    b1, b2 = pair_downsampler_wminor(xc)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1).transpose(0, 2, 3, 1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2).transpose(0, 2, 3, 1), atol=1e-6)
+
+    lm = local_mean(jnp.asarray(x))
+    lmw = local_mean_wminor(xc)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lmw).transpose(0, 2, 3, 1), atol=2e-6)
+
+    sd = local_stddev(jnp.asarray(x))
+    sdw = local_stddev_wminor(xc)
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sdw).transpose(0, 2, 3, 1), atol=2e-5)
+
+    y = rng.random((2, 24, 32, 3)).astype(np.float32)
+    td = texture_difference(jnp.asarray(x), jnp.asarray(y))
+    tdw = texture_difference_wminor(xc, jnp.asarray(y.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(td), np.asarray(tdw).transpose(0, 2, 3, 1), atol=0)

@@ -233,7 +233,13 @@ def set_loss_tail(layout: str | None) -> None:
         H3)^2) exactly (blur is linear; the detach placement gives the
         identical gradient), eliminating one full-res 21x21 blur
         outright. The loss consumes only means of these maps, so nothing
-        transposes back.
+        transposes back. The Res/Inter analysis tail (pair_downsampler,
+        texture mask, local means) also runs W-minor: 2.1x faster
+        isolated (31.6 -> 15.2 ms fwd+bwd at 1080p) but e2e NEUTRAL
+        (309.8 vs 310.4 ms/frame) -- the scheduler already hides that
+        tail behind the conv backward chain; kept because it is exact,
+        strictly less booked work, and wins at operating points with
+        less MXU work to hide behind.
       * "nhwc": the legacy two-blur NHWC tail.
       * None (default): "wminor" in fast mode, "nhwc" in highest.
 

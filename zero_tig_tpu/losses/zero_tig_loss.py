@@ -27,8 +27,11 @@ import jax.numpy as jnp
 from ..ops.filters import (
     calculate_local_variance,
     local_mean,
+    local_mean_wminor,
     local_variance_wminor,
     pair_downsampler,
+    pair_downsampler_wminor,
+    texture_difference_wminor,
 )
 from ..models.network import TrainOutputs
 
@@ -258,6 +261,16 @@ def zero_tig_loss(
     def mse(a, b):
         return _mse_region(a, b, region, slice_h)
 
+    # W-minor analysis tail (fast mode; see the Color/Var branches below):
+    # every pair_downsampler / windowed-stat term on a 3-channel map runs
+    # in (B, C, H, W) layout -- NHWC pads 3 -> 128 lanes, ~2x measured on
+    # the whole Res/Inter tail fwd+bwd at 1080p. mse is layout-invariant,
+    # so only the operands transpose (differentiable, ~0.6 ms/frame).
+    wtail = o.color_blur_diff is not None
+
+    def t(x):  # NHWC -> W-minor
+        return jnp.transpose(x, (0, 3, 1, 2))
+
     loss = jnp.zeros((), jnp.float32)
     # Enhance
     loss += mse(o.s2, clamped_brightness) * 700.0
@@ -265,18 +278,31 @@ def zero_tig_loss(
     loss += smooth_loss(L2d, o.s2, region, ycc=ycc) * 5.0
     loss += tv_loss(o.s2, region) * 1600.0
     # Res_1 (N2N stage 1)
-    L11, L12 = pair_downsampler(inp)
-    loss += mse(L11, o.L_pred2) * 1000.0
-    loss += mse(L12, o.L_pred1) * 1000.0
-    denoised1, denoised2 = pair_downsampler(o.L2)
-    loss += mse(o.L_pred1, denoised1) * 1000.0
-    loss += mse(o.L_pred2, denoised2) * 1000.0
+    if wtail:
+        L11, L12 = pair_downsampler_wminor(t(inp))
+        denoised1, denoised2 = pair_downsampler_wminor(t(o.L2))
+        loss += mse(L11, t(o.L_pred2)) * 1000.0
+        loss += mse(L12, t(o.L_pred1)) * 1000.0
+        loss += mse(t(o.L_pred1), denoised1) * 1000.0
+        loss += mse(t(o.L_pred2), denoised2) * 1000.0
+    else:
+        L11, L12 = pair_downsampler(inp)
+        loss += mse(L11, o.L_pred2) * 1000.0
+        loss += mse(L12, o.L_pred1) * 1000.0
+        denoised1, denoised2 = pair_downsampler(o.L2)
+        loss += mse(o.L_pred1, denoised1) * 1000.0
+        loss += mse(o.L_pred2, denoised2) * 1000.0
     # Res_2 (N2N stage 2)
     loss += mse(o.H3_pred, sg(jnp.concatenate([o.H12, o.s22], -1))) * 1000.0
     loss += mse(o.H4_pred, sg(jnp.concatenate([o.H11, o.s21], -1))) * 1000.0
-    H3_denoised1, H3_denoised2 = pair_downsampler(o.H3)
-    loss += mse(o.H3_pred[..., 0:3], H3_denoised1) * 1000.0
-    loss += mse(o.H4_pred[..., 0:3], H3_denoised2) * 1000.0
+    if wtail:
+        H3_denoised1, H3_denoised2 = pair_downsampler_wminor(t(o.H3))
+        loss += mse(t(o.H3_pred[..., 0:3]), H3_denoised1) * 1000.0
+        loss += mse(t(o.H4_pred[..., 0:3]), H3_denoised2) * 1000.0
+    else:
+        H3_denoised1, H3_denoised2 = pair_downsampler(o.H3)
+        loss += mse(o.H3_pred[..., 0:3], H3_denoised1) * 1000.0
+        loss += mse(o.H4_pred[..., 0:3], H3_denoised2) * 1000.0
     # Color (loss.py:64). Fast loss tail (core.precision.set_loss_tail):
     # blur is linear and blur(H1) is detached, so MSE(blur(H1).detach(),
     # blur(H3)) == mean(blur(sg(H1) - H3)^2) with the identical gradient;
@@ -294,9 +320,17 @@ def zero_tig_loss(
     loss += mse(sg(o.s2), o.s3) * 1000.0
     # Inter (texture-gated local mean); weighted_diff2 reuses H3_denoised1
     # exactly as written in loss.py:71
-    d = o.H3_denoised1_H3_denoised2_diff
-    lm1 = local_mean(H3_denoised1)
-    lm2 = local_mean(H3_denoised2)
+    if wtail:
+        # recompute the mask W-minor (the forward's NHWC
+        # H3_denoised1_H3_denoised2_diff output is then dead under
+        # value_and_grad and XLA removes it); H3_denoised* are W-minor here
+        d = texture_difference_wminor(H3_denoised1, H3_denoised2)
+        lm1 = local_mean_wminor(H3_denoised1)
+        lm2 = local_mean_wminor(H3_denoised2)
+    else:
+        d = o.H3_denoised1_H3_denoised2_diff
+        lm1 = local_mean(H3_denoised1)
+        lm2 = local_mean(H3_denoised2)
     weighted_diff1 = (1.0 - d) * lm1 + H3_denoised1 * d
     weighted_diff2 = (1.0 - d) * lm2 + H3_denoised1 * d
     loss += mse(H3_denoised1, weighted_diff1) * 10000.0

@@ -226,6 +226,65 @@ def local_variance_wminor(x: jax.Array) -> jax.Array:
     return _slide_w(_slide_h(d2p, five), five)
 
 
+def pair_downsampler_wminor(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``pair_downsampler`` on a (B, C, H, W) tensor: same diagonal-pair
+    averages ((2i,2j+1)+(2i+1,2j))/2 and ((2i,2j)+(2i+1,2j+1))/2, computed
+    as static reshape-slices (no 3-of-128 NHWC lane padding)."""
+    b, c, h, w = x.shape
+    r = x[..., : 2 * (h // 2), : 2 * (w // 2)].reshape(
+        b, c, h // 2, 2, w // 2, 2
+    )
+    a = r[..., 0, :, 0]
+    bb = r[..., 0, :, 1]
+    cc = r[..., 1, :, 0]
+    d = r[..., 1, :, 1]
+    return 0.5 * (bb + cc), 0.5 * (a + d)
+
+
+def local_mean_wminor(x: jax.Array, patch_size: int = 5) -> jax.Array:
+    """``local_mean`` on a (B, C, H, W) tensor (5x5 reflect-pad mean)."""
+    p = patch_size // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="reflect")
+    ones = [1.0] * patch_size
+    return _slide_w(_slide_h(xp, ones), ones) / (patch_size * patch_size)
+
+
+def local_stddev_wminor(
+    x: jax.Array, patch_size: int = 5, eps: float = 1e-9
+) -> jax.Array:
+    """``local_stddev`` on a (B, C, H, W) tensor: E[x^2] - E[x]^2 over the
+    reflect-padded window, exactly the NHWC twin's formula."""
+    p = patch_size // 2
+    n = patch_size * patch_size
+    xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="reflect")
+    ones = [1.0] * patch_size
+    m = _slide_w(_slide_h(xp, ones), ones) / n
+    ex2 = _slide_w(_slide_h(xp * xp, ones), ones) / n
+    var = jnp.maximum(ex2 - m * m, 0.0)
+    return jnp.sqrt(var + eps)
+
+
+def texture_difference_wminor(
+    img1: jax.Array,
+    img2: jax.Array,
+    *,
+    patch_size: int = 5,
+    constant_c: float = 1e-5,
+    threshold: float = 0.975,
+) -> jax.Array:
+    """``texture_difference`` on (B, 3, H, W) tensors -> (B, 1, H, W) mask.
+    Same quirky 0.144/0.587/0.299 grayscale coefficients (loss.py:135)."""
+    def gray(im):
+        return (
+            0.144 * im[:, 0:1] + 0.5870 * im[:, 1:2] + 0.299 * im[:, 2:3]
+        )
+
+    s1 = local_stddev_wminor(gray(img1), patch_size)
+    s2 = local_stddev_wminor(gray(img2), patch_size)
+    diff = (2.0 * s1 * s2) / (s1 * s1 + s2 * s2 + constant_c)
+    return jnp.where(diff > threshold, 1.0, 0.0).astype(img1.dtype)
+
+
 def texture_difference(
     img1: jax.Array,
     img2: jax.Array,
