@@ -130,3 +130,35 @@ def test_batched_single_step_flags_vector():
         np.testing.assert_allclose(
             np.asarray(H3[b]), np.asarray(H3s[0]), atol=1e-6
         )
+
+
+def test_pipelined_chunk_bitwise_matches_sequential():
+    """predict_chunk_pipelined == predict_chunk bitwise (fast xpack path),
+    staggered resets included. The variant LOSES on TPU (measured post-
+    mortem in its docstring) but must stay correct while it ships opt-in."""
+    from zero_tig_tpu.pipeline import predict_chunk, predict_chunk_pipelined
+
+    precision.set_precision("fast")
+    jax.clear_caches()
+    net_vars = init_network_variables(jax.random.PRNGKey(0))
+    raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(7)
+    K, B, H, W = 5, 1, 32, 40
+    frames = jnp.asarray(rng.random((K, B, H, W, 3)).astype(np.float32) * 0.3)
+    news = jnp.asarray(np.array([True, False, False, True, False]))
+    carry = {
+        "last_H3": jnp.zeros((B, H, W, 3), jnp.float32),
+        "last_s3": jnp.zeros((B, H, W, 3), jnp.float32) + 0.5,
+    }
+    (a2, a3, as3), ca = predict_chunk(
+        net_vars, raft_vars, frames, carry, news, of_scale=2, raft_iters=2
+    )
+    (b2, b3, bs3), cb = predict_chunk_pipelined(
+        net_vars, raft_vars, frames, carry, news, of_scale=2, raft_iters=2
+    )
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(a3), np.asarray(b3))
+    np.testing.assert_array_equal(np.asarray(as3), np.asarray(bs3))
+    np.testing.assert_array_equal(
+        np.asarray(ca["last_H3"]), np.asarray(cb["last_H3"])
+    )

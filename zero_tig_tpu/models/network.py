@@ -806,14 +806,31 @@ def _forward_inference_xpack(
     SAME-padded packed convs reproduce zero-padded conv semantics exactly.
     """
     from ..core.precision import get_xpack
-    from ..ops.xpack import pack2, unpack2
-    from .xla_fastpath import denoise1_xp, denoise2_xp, enhancer_xp, precompute
+    from .xla_fastpath import precompute
 
     parts = get_xpack()
     if pre is None:
         pre = precompute(variables["params"], variables["batch_stats"], parts)
-    params, batch_stats = variables["params"], variables["batch_stats"]
 
+    inp, L2 = _xpack_d1_prep(variables, frame, parts, pre)
+    return _xpack_flow_enhance(
+        variables, raft_vars, inp, L2, carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters, parts=parts, pre=pre,
+    )
+
+
+def _xpack_d1_prep(
+    variables: dict, frame: jax.Array, parts, pre: dict | None
+) -> tuple[jax.Array, jax.Array]:
+    """Stage A of the xpack inference step: eps-shift + Denoise_1 -> L2.
+
+    Depends ONLY on the frame (not the recurrent carry), so a pipelined
+    chunk can compute frame t+1's stage A concurrently with frame t's
+    stage B (pipeline.predict_chunk_pipelined)."""
+    from ..ops.xpack import pack2, unpack2
+    from .xla_fastpath import denoise1_xp
+
+    params = variables["params"]
     inp = (frame + EPS).astype(jnp.bfloat16)
     if "d1" in parts:
         # 4th input channel zero-padded so every packed tensor is a
@@ -825,7 +842,28 @@ def _forward_inference_xpack(
     else:
         d1 = lambda x: DENOISE_1.apply({"params": params["denoise_1"]}, x)
         L2 = jnp.clip(inp - d1(inp), EPS, 1.0)
+    return inp, L2
 
+
+def _xpack_flow_enhance(
+    variables: dict,
+    raft_vars: Any,
+    inp: jax.Array,
+    L2: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int,
+    raft_iters: int,
+    parts,
+    pre: dict | None,
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
+    """Stage B of the xpack inference step: flow + warp + enhancer +
+    Denoise_2, from a precomputed (inp, L2) pair (_xpack_d1_prep)."""
+    from ..ops.xpack import pack2, unpack2
+    from .xla_fastpath import denoise2_xp, enhancer_xp
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
     new_flag = jnp.reshape(is_new_seq, (-1, 1, 1, 1))  # scalar or per-scene
     from ..core.precision import get_warp_packed
     from ..ops.xpack import cat_packed
@@ -833,7 +871,7 @@ def _forward_inference_xpack(
     warp_packed = (
         get_warp_packed()
         and {"enh", "d2"} <= set(parts)
-        and frame.shape[1] % 2 == 0
+        and inp.shape[1] % 2 == 0
     )
     if warp_packed:
         # packed-glue variant (precision.set_warp_packed): the warp emits

@@ -2,6 +2,7 @@ from .spatial import train_step_spatial
 from .steps import (
     TrainState,
     predict_chunk,
+    predict_chunk_pipelined,
     train_chunk,
     eval_forward_step,
     init_train_state,
@@ -14,6 +15,7 @@ from .steps import (
 __all__ = [
     "TrainState",
     "predict_chunk",
+    "predict_chunk_pipelined",
     "train_chunk",
     "eval_forward_step",
     "init_train_state",

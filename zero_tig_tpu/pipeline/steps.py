@@ -307,6 +307,83 @@ def predict_chunk(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("of_scale", "raft_iters", "emit"),
+)
+def predict_chunk_pipelined(
+    variables: dict,
+    raft_vars: Any,
+    frames: jax.Array,
+    carry: dict,
+    is_new_seq: jax.Array,
+    *,
+    of_scale: int = 3,
+    raft_iters: int = 12,
+    emit: str = "f32",
+):
+    """Software-pipelined predict_chunk (fast xpack path; OPT-IN, loses).
+
+    Hypothesis: the sequential scan serializes the whole frame step --
+    Denoise_1(t+1) depends only on frame t+1, so carrying stage A
+    (models.network._xpack_d1_prep) one iteration ahead should let XLA's
+    scheduler overlap B(t)'s gather-bound warp with A(t+1)'s MXU convs.
+
+    MEASURED: REGRESSION, 79.45 vs 49.36/49.44 ms/frame (one v5e, 1080p
+    chunk-32, sequential controls sandwiching). Post-mortem: the staged
+    (inp, L2) pair crosses the scan-carry boundary as materialized
+    full-res (.., 3)-lane buffers (losing the producer-consumer fusion
+    the sequential body enjoys), and the hoped-for overlap cannot happen
+    anyway -- stage B's RAFT is a lax.scan (while loop), and XLA does not
+    co-schedule independent subgraphs across a while-loop boundary, so
+    A(t+1) just runs after B(t) plus the new materialization cost.
+
+    Kept opt-in as the measured record of the software-pipelining idea;
+    outputs are BITWISE identical to predict_chunk (tested). Requires the
+    fast-mode xpack routing; falls back to the sequential chunk otherwise.
+    """
+    from ..core.precision import get_mode, get_xpack
+    from ..models.network import _xpack_d1_prep, _xpack_flow_enhance
+
+    parts = get_xpack()
+    if not (
+        get_mode() == "fast" and parts and frames.shape[3] % 2 == 0
+    ):
+        return predict_chunk(
+            variables, raft_vars, frames, carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, emit=emit,
+        )
+    xpack_pre = xpack_precompute(
+        variables, frames.shape[3], 1,
+        batch=frames.shape[1], height=frames.shape[2],
+    )
+
+    inp0, L20 = _xpack_d1_prep(variables, frames[0], parts, xpack_pre)
+
+    def body(c, x):
+        mcarry, inp_t, L2_t = c
+        frame_next, flag_t = x
+        outs, new_mcarry = _xpack_flow_enhance(
+            variables, raft_vars, inp_t, L2_t, mcarry, flag_t,
+            of_scale=of_scale, raft_iters=raft_iters, parts=parts,
+            pre=xpack_pre,
+        )
+        inp_n, L2_n = _xpack_d1_prep(variables, frame_next, parts, xpack_pre)
+        if emit == "u8":
+            H2, H3, _s3 = outs
+            outs = (_quantize_u8(H2), _quantize_u8(H3))
+        return (new_mcarry, inp_n, L2_n), outs
+
+    # frame stream shifted by one: iteration t consumes stage A(t) from
+    # the scan carry and preps frame t+1 (the final prep, of a duplicated
+    # last frame, is discarded)
+    frames_next = jnp.concatenate([frames[1:], frames[-1:]], axis=0)
+    (carry, _, _), outs = jax.lax.scan(
+        body, (carry, inp0, L20), (frames_next, is_new_seq)
+    )
+    return outs, carry
+
+
+@functools.partial(
     jax.jit, static_argnames=("of_scale", "raft_iters", "is_wb", "bn_train"),
 )
 def train_chunk(
