@@ -162,3 +162,42 @@ def test_pipelined_chunk_bitwise_matches_sequential():
     np.testing.assert_array_equal(
         np.asarray(ca["last_H3"]), np.asarray(cb["last_H3"])
     )
+
+
+def test_pipelined_chunk_falls_back_when_pack_conv_dispatches():
+    """set_pack_conv(True) routes the sequential chunk to the packed body
+    and xpack_precompute returns None; predict_chunk_pipelined must fall
+    back to predict_chunk (NOT subscript the None pytree -- regression for
+    the round-5 review finding) and still match it exactly."""
+    from zero_tig_tpu.pipeline import predict_chunk, predict_chunk_pipelined
+
+    precision.set_precision("fast")
+    precision.set_pack_conv(True)
+    jax.clear_caches()
+    try:
+        net_vars = init_network_variables(jax.random.PRNGKey(0))
+        raft_vars = init_raft_variables(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(3)
+        K, B, H, W = 3, 1, 32, 40  # B==1, even H/W: pack_conv dispatches
+        frames = jnp.asarray(
+            rng.random((K, B, H, W, 3)).astype(np.float32) * 0.3
+        )
+        news = jnp.asarray(np.array([True, False, False]))
+        carry = {
+            "last_H3": jnp.zeros((B, H, W, 3), jnp.float32),
+            "last_s3": jnp.zeros((B, H, W, 3), jnp.float32) + 0.5,
+        }
+        (a2, a3, _), ca = predict_chunk(
+            net_vars, raft_vars, frames, carry, news,
+            of_scale=2, raft_iters=2,
+        )
+        (b2, b3, _), cb = predict_chunk_pipelined(
+            net_vars, raft_vars, frames, carry, news,
+            of_scale=2, raft_iters=2,
+        )
+        np.testing.assert_array_equal(np.asarray(a3), np.asarray(b3))
+        np.testing.assert_array_equal(
+            np.asarray(ca["last_H3"]), np.asarray(cb["last_H3"])
+        )
+    finally:
+        precision.set_pack_conv(False)

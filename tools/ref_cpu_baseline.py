@@ -88,7 +88,9 @@ def _install_ref_env():
 def _frames(n, h, w, seed=11):
     """Slowly panning low-light sequence (real flow between frames)."""
     rng = np.random.default_rng(seed)
-    base = rng.uniform(0.02, 0.5, (h + 8, w + 2 * n + 8, 3)).astype(
+    # row offset reaches n-1 and column offset 2*(n-1): headroom must
+    # cover both (h+8 rows only allowed --frames <= 9)
+    base = rng.uniform(0.02, 0.5, (h + n + 8, w + 2 * n + 8, 3)).astype(
         np.float32
     )
     import cv2

@@ -341,21 +341,24 @@ def predict_chunk_pipelined(
     outputs are BITWISE identical to predict_chunk (tested). Requires the
     fast-mode xpack routing; falls back to the sequential chunk otherwise.
     """
-    from ..core.precision import get_mode, get_xpack
+    from ..core.precision import get_xpack
     from ..models.network import _xpack_d1_prep, _xpack_flow_enhance
 
     parts = get_xpack()
-    if not (
-        get_mode() == "fast" and parts and frames.shape[3] % 2 == 0
-    ):
-        return predict_chunk(
-            variables, raft_vars, frames, carry, is_new_seq,
-            of_scale=of_scale, raft_iters=raft_iters, emit=emit,
-        )
+    # xpack_precompute is the single source of truth for "will the xpack
+    # path dispatch": it returns None when the mode/parts/shape gates fail
+    # AND when pack_conv takes the dispatch instead (in which case the
+    # sequential chunk routes to the packed body and this path must not
+    # run -- _xpack_d1_prep would subscript the None pytree at trace time)
     xpack_pre = xpack_precompute(
         variables, frames.shape[3], 1,
         batch=frames.shape[1], height=frames.shape[2],
     )
+    if xpack_pre is None:
+        return predict_chunk(
+            variables, raft_vars, frames, carry, is_new_seq,
+            of_scale=of_scale, raft_iters=raft_iters, emit=emit,
+        )
 
     inp0, L20 = _xpack_d1_prep(variables, frames[0], parts, xpack_pre)
 
