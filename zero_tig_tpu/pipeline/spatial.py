@@ -618,6 +618,241 @@ def spatial_loss_and_grads(
     return loss_total, grads_acc, new_batch_stats, new_carry
 
 
+def _band_scan(
+    params, batch_stats, frame, wH3, ws3, factor, ycc, stats, geoms_arr,
+    *, slice_h: int, band_h: int, is_wb: bool,
+):
+    """The band loop as an in-graph lax.scan over the traced geometry rows,
+    accumulating loss/grads (and the stats cotangents when stats is not
+    None) in the same band order as the host loop, from a zeros init --
+    x + 0.0 is exact in f32. Returns (acc, (h3_stk, s3_stk))."""
+    h = frame.shape[1]
+    add = functools.partial(jax.tree_util.tree_map, jnp.add)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    bn_train = stats is not None
+
+    def body(acc, geom):
+        g = (geom[0], geom[1], geom[2])
+        if bn_train:
+            loss, grads, g_st, H3_b, s3_b = _band_grad_bn(
+                params, batch_stats, frame, wH3, ws3, factor, ycc,
+                stats, *g,
+                slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
+            )
+            l_acc, g_acc, e_acc = acc
+            acc = (l_acc + loss, add(g_acc, grads), add(e_acc, g_st))
+        else:
+            loss, grads, H3_b, s3_b = _band_grad(
+                params, batch_stats, frame, wH3, ws3, factor, ycc, *g,
+                slice_h=slice_h, band_h=band_h, full_h=h, is_wb=is_wb,
+            )
+            l_acc, g_acc = acc
+            acc = (l_acc + loss, add(g_acc, grads))
+        return acc, (H3_b, s3_b)
+
+    loss0 = jnp.zeros((), jnp.float32)
+    if bn_train:
+        init = (
+            loss0, zero_grads,
+            jax.tree_util.tree_map(jnp.zeros_like, stats),
+        )
+    else:
+        init = (loss0, zero_grads)
+    return jax.lax.scan(body, init, geoms_arr)
+
+
+def _stack_carry(h3_stk, s3_stk, frame):
+    # (bands, B, band_h, W, 3) -> (B, bands*band_h, W, 3): bands partition
+    # the rows contiguously in geometry order, so this IS the concat
+    b_sz, h, w = frame.shape[0], frame.shape[1], frame.shape[2]
+    return {
+        "last_H3": jnp.moveaxis(h3_stk, 0, 1).reshape(b_sz, h, w, 3),
+        "last_s3": jnp.moveaxis(s3_stk, 0, 1).reshape(b_sz, h, w, 3),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slice_h", "band_h", "of_scale", "raft_iters", "is_wb"),
+)
+def _fused_spatial_step(
+    state: TrainState,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    geoms_arr: jax.Array,
+    lr: jax.Array,
+    grad_clip: jax.Array,
+    weight_decay: jax.Array,
+    *,
+    slice_h: int,
+    band_h: int,
+    of_scale: int,
+    raft_iters: int,
+    is_wb: bool,
+) -> tuple[TrainState, jax.Array]:
+    """The whole banded bn_train=False frame step as ONE dispatched program.
+
+    Same arithmetic as spatial_loss_and_grads + _apply_update (the jitted
+    pieces inline under this trace; the band loop becomes a lax.scan, see
+    _band_scan). Through the axon relay every dispatch costs ~25-40 ms
+    regardless of payload; the per-band form pays 1 (flow) + bands (vjp)
+    + the epilogue's per-leaf tree adds and optimizer call, all as
+    separate host-driven dispatches. Peak memory stays one band's
+    backward: the scan body is exactly the per-band vjp graph. Measured
+    (one v5e, 1080p bands=2 f32): 1677.0 -> 1518.1 ms/frame same-session.
+    """
+    wH3, ws3, factor, ycc, _enh_in = _flow_phase(
+        state.params, raft_vars, frame, state.carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+    )
+    (loss_total, grads_acc), (h3_stk, s3_stk) = _band_scan(
+        state.params, state.batch_stats, frame, wH3, ws3, factor, ycc,
+        None, geoms_arr, slice_h=slice_h, band_h=band_h, is_wb=is_wb,
+    )
+    new_params, new_opt_state = _apply_update(
+        state.params, state.opt_state, grads_acc, lr, grad_clip,
+        weight_decay,
+    )
+    return (
+        TrainState(
+            new_params, state.batch_stats, new_opt_state,
+            _stack_carry(h3_stk, s3_stk, frame),
+        ),
+        loss_total,
+    )
+
+
+# ---- bn_train=True fused phases: the single-program form OOMs at 1080p
+# bands=2 (measured: 16.86G > 15.75G HBM -- one program holding the flow
+# graph, pass A's cached prefixes, the band-scan vjp AND pass C's chain
+# recompute keeps too much live at 42% padded utilization), so the exact
+# epoch-0 step runs as THREE fused dispatches instead of the per-band
+# form's ~40 host-driven ones: [flow + pass A] -> [band scan] -> [pass C
+# + optimizer]. Each phase's liveness matches a dispatch that already
+# compiled and ran standalone.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slice_h", "of_scale", "raft_iters", "is_wb", "n_el"),
+)
+def _fused_bn1_prep(
+    params, batch_stats, raft_vars, frame, carry, is_new_seq, geoms_arr,
+    *, slice_h: int, of_scale: int, raft_iters: int, is_wb: bool, n_el: int,
+):
+    """Phase 1: full-frame flow/warp + exact pass-A batch stats + the
+    torch-semantics running-stats blend, one dispatch."""
+    wH3, ws3, factor, ycc, enh_in = _flow_phase(
+        params, raft_vars, frame, carry, is_new_seq,
+        of_scale=of_scale, raft_iters=raft_iters, is_wb=is_wb,
+    )
+    stats = _bn_pass_a(
+        params["enhance"], enh_in, geoms_arr, slice_h=slice_h, n_el=n_el
+    )
+    enh_bstats = batch_stats["enhance"]
+    rm = enh_bstats["block"]["bn"]["mean"]
+    rv = enh_bstats["block"]["bn"]["var"]
+    for k in range(3):
+        rm = 0.9 * rm + 0.1 * stats[k][0]
+        rv = 0.9 * rv + 0.1 * stats[k][1] * (n_el / max(n_el - 1, 1))
+    return wH3, ws3, factor, ycc, enh_in, stats, rm, rv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slice_h", "band_h", "is_wb")
+)
+def _fused_bn1_scan(
+    params, batch_stats, frame, wH3, ws3, factor, ycc, stats, geoms_arr,
+    *, slice_h: int, band_h: int, is_wb: bool,
+):
+    """Phase 2: the stats-as-inputs band vjps as one in-graph scan."""
+    return _band_scan(
+        params, batch_stats, frame, wH3, ws3, factor, ycc, stats,
+        geoms_arr, slice_h=slice_h, band_h=band_h, is_wb=is_wb,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("slice_h", "n_el"))
+def _fused_bn1_final(
+    params, opt_state, frame, enh_in, stats, e_stats, grads_acc,
+    h3_stk, s3_stk, geoms_arr, lr, grad_clip, weight_decay,
+    *, slice_h: int, n_el: int,
+):
+    """Phase 3: pass C stats->params chain, grad merge, optimizer, carry
+    assembly -- one dispatch."""
+    add = functools.partial(jax.tree_util.tree_map, jnp.add)
+    d_enh = _bn_pass_c(
+        params["enhance"], enh_in, stats, e_stats, geoms_arr,
+        slice_h=slice_h, n_el=n_el,
+    )
+    eg = grads_acc["enhance"]
+    grads_acc = {
+        **grads_acc,
+        "enhance": {
+            **eg,
+            "in_conv": add(eg["in_conv"], d_enh["in_conv"]),
+            "block": {
+                **eg["block"],
+                "conv": add(eg["block"]["conv"], d_enh["block"]["conv"]),
+                "bn": {
+                    **eg["block"]["bn"],
+                    "scale": eg["block"]["bn"]["scale"]
+                    + d_enh["block"]["bn"]["scale"],
+                    "bias": eg["block"]["bn"]["bias"]
+                    + d_enh["block"]["bn"]["bias"],
+                },
+            },
+        },
+    }
+    new_params, new_opt_state = _apply_update(
+        params, opt_state, grads_acc, lr, grad_clip, weight_decay
+    )
+    return new_params, new_opt_state, _stack_carry(h3_stk, s3_stk, frame)
+
+
+def _fused_spatial_step_bn(
+    state: TrainState,
+    raft_vars: Any,
+    frame: jax.Array,
+    is_new_seq: jax.Array,
+    geoms_arr: jax.Array,
+    lr: jax.Array,
+    grad_clip: jax.Array,
+    weight_decay: jax.Array,
+    *,
+    slice_h: int,
+    band_h: int,
+    of_scale: int,
+    raft_iters: int,
+    is_wb: bool,
+) -> tuple[TrainState, jax.Array]:
+    """The exact epoch-0 (bn_train=True) banded step as THREE fused
+    dispatches (see the phase block comment above)."""
+    n_el = frame.shape[0] * frame.shape[1] * frame.shape[2]
+    wH3, ws3, factor, ycc, enh_in, stats, rm, rv = _fused_bn1_prep(
+        state.params, state.batch_stats, raft_vars, frame, state.carry,
+        is_new_seq, geoms_arr,
+        slice_h=slice_h, of_scale=of_scale, raft_iters=raft_iters,
+        is_wb=is_wb, n_el=n_el,
+    )
+    (loss_total, grads_acc, e_stats), (h3_stk, s3_stk) = _fused_bn1_scan(
+        state.params, state.batch_stats, frame, wH3, ws3, factor, ycc,
+        stats, geoms_arr, slice_h=slice_h, band_h=band_h, is_wb=is_wb,
+    )
+    new_params, new_opt_state, new_carry = _fused_bn1_final(
+        state.params, state.opt_state, frame, enh_in, stats, e_stats,
+        grads_acc, h3_stk, s3_stk, geoms_arr, lr, grad_clip, weight_decay,
+        slice_h=slice_h, n_el=n_el,
+    )
+    new_batch_stats = dict(state.batch_stats)
+    new_batch_stats["enhance"] = {"block": {"bn": {"mean": rm, "var": rv}}}
+    return (
+        TrainState(new_params, new_batch_stats, new_opt_state, new_carry),
+        loss_total,
+    )
+
+
 def train_step_spatial(
     state: TrainState,
     raft_vars: Any,
@@ -633,6 +868,7 @@ def train_step_spatial(
     grad_clip: float = 5.0,
     weight_decay: float = 3e-4,
     bn_train: bool = False,
+    fused: bool = True,
 ) -> tuple[TrainState, jax.Array]:
     """One zero-shot training frame via per-band gradient accumulation.
 
@@ -642,7 +878,40 @@ def train_step_spatial(
     -> d2 -> 21x21 blur stack: ~24 rows; default 32). bn_train=True (the
     reference's epoch-0 schedule, train.py:115-138) runs the exact two-pass
     banded BN (see the two-pass BN block comment above).
+
+    fused=True (default) minimizes dispatched programs -- bn_train=False
+    runs the whole frame as ONE (_fused_spatial_step: in-graph band scan +
+    optimizer), bn_train=True as THREE (_fused_spatial_step_bn: the
+    single-program form OOMs HBM at 1080p, see its block comment) -- same
+    arithmetic, same one-band peak backward memory, minus the relay's
+    per-dispatch tax on the per-band/epilogue host loop. fused=False keeps
+    the per-band dispatch form (smaller individual graphs for compilers
+    that reject the fused ones; equivalence-tested against it).
     """
+    h = frame.shape[1]
+    if h % bands:
+        raise ValueError(f"H={h} not divisible by bands={bands}")
+    band_h = h // bands
+    if band_h % 2 or halo % 2:
+        raise ValueError("band height and halo must be even (pair maps)")
+    slice_h = min(band_h + 2 * halo, h)
+
+    if fused:
+        geoms = []
+        for b_i in range(bands):
+            own_start = b_i * band_h
+            slice_start = min(max(own_start - halo, 0), h - slice_h)
+            geoms.append([slice_start, own_start, own_start + band_h])
+        step = _fused_spatial_step_bn if bn_train else _fused_spatial_step
+        return step(
+            state, raft_vars, frame, is_new_seq,
+            jnp.asarray(geoms, jnp.int32),
+            jnp.asarray(lr), jnp.asarray(grad_clip),
+            jnp.asarray(weight_decay),
+            slice_h=slice_h, band_h=band_h, of_scale=of_scale,
+            raft_iters=raft_iters, is_wb=is_wb,
+        )
+
     loss_total, grads_acc, new_batch_stats, new_carry = spatial_loss_and_grads(
         state, raft_vars, frame, is_new_seq,
         bands=bands, halo=halo, of_scale=of_scale, raft_iters=raft_iters,
