@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
-from ..data import create_dataset, device_prefetch
-from ..data.prefetch import ChunkRecord, chunk_records
+from ..data import create_dataset
+from ..data.prefetch import ChunkRecord, chunk_prefetch
 from ..pipeline import predict_chunk, predict_step
 from .common import load_variables, setup_logging, write_png
 
@@ -81,14 +81,16 @@ def run_predict(config: Config) -> None:
         enh_scale=config.enh_scale,
     )
     carry = None
-    stream = device_prefetch(test_ds.iter_u8(), depth=config.prefetch_depth)
     # --chunk K dispatches K frames per lax.scan program (predict_chunk),
-    # amortizing per-call host/relay latency; trailing partial groups fall
-    # back to the per-frame step
-    for item in chunk_records(stream, config.chunk):
+    # amortizing per-call host/relay latency; chunk_prefetch stages each
+    # chunk as ONE uint8 H2D block (normalize happens in-graph) and the
+    # trailing partial group falls back to the per-frame step
+    for item in chunk_prefetch(
+        test_ds.iter_u8(), config.chunk, depth=config.prefetch_depth
+    ):
         if isinstance(item, ChunkRecord):
             if carry is None:
-                zeros = jnp.zeros_like(item.images[0])
+                zeros = jnp.zeros(item.images[0].shape, jnp.float32)
                 carry = {"last_H3": zeros, "last_s3": zeros}
             for rec in item.records:
                 if rec.is_new_seq:

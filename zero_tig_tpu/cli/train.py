@@ -20,7 +20,7 @@ import numpy as np
 from ..core.checkpoint import save_msgpack, save_torch_pt
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import create_dataset, device_prefetch
-from ..data.prefetch import ChunkRecord, chunk_records
+from ..data.prefetch import ChunkRecord, chunk_prefetch
 from ..pipeline import (
     eval_forward_step,
     init_train_state,
@@ -139,8 +139,10 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
         # statistics (train.py:115-138; see models.network.forward_train)
         bn_train = (epoch == 0) if bn_schedule_faithful else True
         losses = []
-        stream = device_prefetch(train_ds.iter_u8(), depth=config.prefetch_depth)
         if config.spatial_bands > 1:
+            stream = device_prefetch(
+                train_ds.iter_u8(), depth=config.prefetch_depth
+            )
             # per-band gradient accumulation: f32-faithful full-res training
             # on one chip (pipeline.train_step_spatial; equivalence-tested).
             # Epoch 0 uses the exact two-pass banded train-mode BatchNorm
@@ -158,12 +160,20 @@ def run_training(config: Config, *, bn_schedule_faithful: bool = True) -> str:
                     "train-epoch %03d %03d %f", epoch, len(losses) - 1,
                     losses[-1],
                 )
-            stream = ()  # frames consumed; fall through to the epoch tail
+            items = ()  # frames consumed; fall through to the epoch tail
+        else:
+            # chunk_prefetch stages each chunk as ONE uint8 H2D block
+            # (steps normalize in-graph); trailing partials arrive as
+            # per-frame DeviceRecords
+            items = chunk_prefetch(
+                train_ds.iter_u8(), config.chunk,
+                depth=config.prefetch_depth,
+            )
         # --chunk K runs K sequential frames as ONE lax.scan program
         # (pipeline.train_chunk, loop-equivalence tested); the trailing
         # partial group uses the per-frame step so no padding frame ever
         # advances the optimizer
-        for item in chunk_records(stream, config.chunk):
+        for item in items:
             if isinstance(item, ChunkRecord):
                 state, k_losses = train_chunk(
                     state, raft_vars, item.images, item.flags,

@@ -11,14 +11,23 @@ from .datasets import (
     sequential_judgment,
     sort_files_by_name,
 )
-from .prefetch import DeviceRecord, device_prefetch
+from .prefetch import (
+    ChunkRecord,
+    DeviceRecord,
+    chunk_prefetch,
+    chunk_records,
+    device_prefetch,
+)
 from .synthetic import make_rlv_fixture
 
 __all__ = [
+    "ChunkRecord",
     "DIDDataset",
     "FlowAugmentor",
     "SparseFlowAugmentor",
     "DeviceRecord",
+    "chunk_prefetch",
+    "chunk_records",
     "FrameDataset",
     "FrameRecord",
     "GenericDataset",

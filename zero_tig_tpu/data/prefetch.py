@@ -94,6 +94,95 @@ class ChunkRecord:
         self.records = records  # list[DeviceRecord] for names/paths
 
 
+def chunk_prefetch(
+    records: Iterable[FrameRecord],
+    k: int,
+    *,
+    depth: int = 2,
+    device=None,
+    dtype=jnp.float32,
+) -> Iterator[ChunkRecord | DeviceRecord]:
+    """Decode-and-stage WHOLE CHUNKS: one H2D transfer per K frames.
+
+    device_prefetch + chunk_records pays ~2 relay dispatches per frame
+    (device_put + on-device /255) plus a K-way jnp.stack per chunk; at the
+    relay's ~25-40 ms/dispatch tax (CLAUDE.md) that is ~60-70 ms/frame of
+    pure dispatch overhead on the streaming path -- the round-5 banded-BN
+    lesson applied to IO. Here the decode thread np.stacks K uint8 frames
+    on the HOST (cheap, no GIL contention with the relay wait), issues ONE
+    device_put of the (K, 1, H, W, 3) uint8 block per chunk, and ONE
+    on-device astype/255 -- 4 dispatches per chunk instead of ~2K+3, all
+    issued from the prefetch thread so they overlap the consumer's step
+    wait. The eager normalize keeps the downstream jitted program
+    IDENTICAL to f32-staged frames (bitwise; the steps' in-graph uint8
+    normalize is reassociation-level approximate, see
+    pipeline.steps._norm_frames).
+
+    ChunkRecord.records are the host FrameRecords (consumers read only
+    .name/.path/.is_new_seq from full chunks). The trailing partial group
+    is yielded as per-frame DeviceRecords (normalized ``dtype``, exactly
+    like device_prefetch) so callers fall back to the per-frame step.
+    Float records (non-uint8 sources) ship as one ``dtype`` block instead.
+    """
+    if k <= 1:
+        yield from device_prefetch(
+            records, depth=depth, device=device, dtype=dtype
+        )
+        return
+    if device is None:
+        device = jax.devices()[0]
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def stage_chunk(buf: list[FrameRecord]) -> ChunkRecord:
+        imgs = np.stack([np.asarray(r.image) for r in buf])[:, None]
+        if imgs.dtype == np.uint8:
+            images = jax.device_put(jnp.asarray(imgs), device)
+            images = images.astype(dtype) / 255.0  # one on-device normalize
+        else:
+            images = jax.device_put(jnp.asarray(imgs, dtype), device)
+        flags = jax.device_put(
+            jnp.asarray([r.is_new_seq for r in buf]), device
+        )
+        return ChunkRecord(images, flags, list(buf))
+
+    def stage_frame(rec: FrameRecord) -> DeviceRecord:
+        img = np.asarray(rec.image)[None]
+        if img.dtype == np.uint8:
+            dev = jax.device_put(jnp.asarray(img), device)
+            dev = dev.astype(dtype) / 255.0
+        else:
+            dev = jax.device_put(jnp.asarray(img, dtype), device)
+        return DeviceRecord(dev, rec.name, rec.path, rec.is_new_seq)
+
+    def worker():
+        try:
+            buf: list[FrameRecord] = []
+            for rec in records:
+                buf.append(rec)
+                if len(buf) == k:
+                    q.put(stage_chunk(buf))
+                    buf = []
+            for rec in buf:  # trailing partial: per-frame fallback records
+                q.put(stage_frame(rec))
+        except BaseException as e:  # surfaced to the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
 def chunk_records(
     records: Iterable[DeviceRecord], k: int
 ) -> Iterator[ChunkRecord | DeviceRecord]:

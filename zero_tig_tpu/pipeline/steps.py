@@ -60,6 +60,25 @@ def init_train_state(
     )
 
 
+def _norm_frames(frames: jax.Array) -> jax.Array:
+    """Accept uint8 frames at every step entry point: astype(f32)/255 at
+    TRACE time (dtype is static). Float frames pass through untouched.
+
+    APPROXIMATE vs f32-staged frames: moving the /255 inside the program
+    perturbs XLA's fusion/simplification choices (e.g. update_cache
+    multiplies by 255 right back and the simplifier may fold
+    (x/255)*255 -> x), so outputs drift at reassociation level (~2e-7
+    measured, an optimization_barrier does not close it). The exact
+    staging is data.prefetch.chunk_prefetch, which normalizes EAGERLY once
+    per chunk on-device so the jitted program is byte-for-byte the
+    f32-input one. This in-graph path exists for callers that hand raw
+    uint8 straight to a step (zero staging dispatches; fine wherever
+    1e-7 is noise, e.g. fast-mode serving -- bf16 casts dwarf it)."""
+    if frames.dtype == jnp.uint8:
+        return frames.astype(jnp.float32) / 255.0
+    return frames
+
+
 def _grad_and_apply(
     state: TrainState,
     opt: optax.GradientTransformation,
@@ -76,6 +95,7 @@ def _grad_and_apply(
     """The shared value_and_grad + clip + Adam body of train_step /
     train_step_split's update phase / train_chunk (one definition so
     optimizer-parity fixes cannot drift between the entry points)."""
+    frame = _norm_frames(frame)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -141,7 +161,7 @@ def _flow_phase_step(
 
     return train_flow_phase(
         {"params": params, "batch_stats": batch_stats},
-        raft_vars, frame, carry,
+        raft_vars, _norm_frames(frame), carry,
         of_scale=of_scale, raft_iters=raft_iters,
     )
 
@@ -235,7 +255,7 @@ def predict_step(
 ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], dict]:
     """One inference frame: ((H2, H3, s3), new_carry)."""
     return forward_inference(
-        variables, raft_vars, frame, carry, is_new_seq,
+        variables, raft_vars, _norm_frames(frame), carry, is_new_seq,
         of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
     )
 
@@ -293,7 +313,7 @@ def predict_chunk(
     def body(c, inp):
         frame, flag = inp
         outs, new_c = forward_inference(
-            variables, raft_vars, frame, c, flag,
+            variables, raft_vars, _norm_frames(frame), c, flag,
             of_scale=of_scale, raft_iters=raft_iters, enh_scale=enh_scale,
             xpack_pre=xpack_pre,
         )
@@ -344,6 +364,7 @@ def predict_chunk_pipelined(
     from ..core.precision import get_xpack
     from ..models.network import _xpack_d1_prep, _xpack_flow_enhance
 
+    frames = _norm_frames(frames)
     parts = get_xpack()
     # xpack_precompute is the single source of truth for "will the xpack
     # path dispatch": it returns None when the mode/parts/shape gates fail
@@ -443,7 +464,7 @@ def eval_forward_step(
     Returns (H2, H3) only.
     """
     outputs, _, new_carry = forward_train(
-        variables, raft_vars, frame, carry, is_new_seq,
+        variables, raft_vars, _norm_frames(frame), carry, is_new_seq,
         of_scale=of_scale, raft_iters=raft_iters, bn_train=False,
     )
     return (outputs.H2, outputs.H3), new_carry
